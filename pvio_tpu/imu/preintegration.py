@@ -1,0 +1,201 @@
+"""On-manifold IMU preintegration as a masked `lax.scan`.
+
+TPU-native re-design of reference pvio/src/pvio/estimation/
+preintegrator.{h,cpp}: the per-sample host loop (preintegrator.cpp:39-86)
+becomes a scan over a fixed-capacity, zero-padded sample buffer — padded
+samples carry dt = 0, which makes the increment an exact identity, so one
+compiled program handles any sample count. Batched over frames/factors with
+vmap.
+
+Semantics preserved:
+  * deltas Δq, Δp, Δv integrated with piecewise-constant w, a
+    (preintegrator.cpp:80-84);
+  * 9x9 (q, p, v) discrete covariance propagation cov' = A cov A^T +
+    B N B^T with N = diag(cov_w, cov_a)/dt, plus bias random walk added on
+    the (bg, ba) diagonal (preintegrator.cpp:45-68) — error-state ordering
+    (q, p, v, bg, ba) as in estimation/state.h:29-36;
+  * bias Jacobians dq/dbg, dp/dbg, dp/dba, dv/dbg, dv/dba
+    (preintegrator.cpp:70-76);
+  * sqrt_inv_cov = upper Cholesky factor of cov^{-1}
+    (preintegrator.cpp:98-100);
+  * constant-bias forward propagation `predict` with gravity
+    (preintegrator.cpp:102-109).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pvio_tpu.geometry import lie
+
+GRAVITY_NOMINAL = 9.80665
+ES_Q, ES_P, ES_V, ES_BG, ES_BA, ES_SIZE = 0, 3, 6, 9, 12, 15
+
+
+class PreintDelta(NamedTuple):
+    """Preintegrated IMU measurement between two frames."""
+
+    t: jnp.ndarray          # () total dt
+    q: jnp.ndarray          # (4,) Δq (w, x, y, z)
+    p: jnp.ndarray          # (3,) Δp
+    v: jnp.ndarray          # (3,) Δv
+    cov: jnp.ndarray        # (15, 15) error-state covariance (q, p, v, bg, ba)
+    sqrt_inv_cov: jnp.ndarray  # (15, 15) upper-triangular whitener
+    dq_dbg: jnp.ndarray     # (3, 3)
+    dp_dbg: jnp.ndarray
+    dp_dba: jnp.ndarray
+    dv_dbg: jnp.ndarray
+    dv_dba: jnp.ndarray
+
+
+class ImuNoise(NamedTuple):
+    """Continuous-time noise covariances (Config getters in reference
+    pvio.h:70-112: imu_gyro/accel noise + bias random walk)."""
+
+    cov_w: jnp.ndarray   # (3, 3) gyro white noise
+    cov_a: jnp.ndarray   # (3, 3) accel white noise
+    cov_bg: jnp.ndarray  # (3, 3) gyro bias random walk
+    cov_ba: jnp.ndarray  # (3, 3) accel bias random walk
+
+    @staticmethod
+    def isotropic(sw, sa, sbg, sba, dtype=jnp.float32):
+        eye = jnp.eye(3, dtype=dtype)
+        return ImuNoise(sw * eye, sa * eye, sbg * eye, sba * eye)
+
+
+def _increment(carry, inp, noise):
+    """One IMU sample step; dt == 0 is an exact no-op."""
+    t, q, p, v, cov9, covbg, covba, J = carry
+    dt, w_raw, a_raw, bg, ba = inp
+    w = w_raw - bg
+    a = a_raw - ba
+
+    Rd = lie.quat_to_mat(q)           # Δq as matrix
+    dq = lie.expmap(w * dt)
+    Rstep_T = lie.quat_to_mat(dq).T   # expmap(w dt)^T
+    Ra = Rd @ lie.hat(a)
+    Jr = lie.right_jacobian(w * dt)
+
+    dtype = q.dtype
+    I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype=dtype)
+
+    # A (9x9) over (q, p, v)
+    A = jnp.block(
+        [
+            [Rstep_T, Z3, Z3],
+            [-0.5 * dt * dt * Ra, I3, dt * I3],
+            [-dt * Ra, Z3, I3],
+        ]
+    )
+    # B (9x6) over noise (w, a)
+    B = jnp.block(
+        [
+            [dt * Jr, Z3],
+            [Z3, 0.5 * dt * dt * Rd],
+            [Z3, dt * Rd],
+        ]
+    )
+    inv_dt = 1.0 / jnp.maximum(dt, 1e-7)
+    N = jnp.block(
+        [[noise.cov_w * inv_dt, Z3], [Z3, noise.cov_a * inv_dt]]
+    )
+    cov9 = A @ cov9 @ A.T + (B @ N @ B.T) * jnp.where(dt > 0, 1.0, 0.0)
+    covbg = covbg + noise.cov_bg * dt
+    covba = covba + noise.cov_ba * dt
+
+    # bias Jacobians (order matters: p, v use the *previous* dq_dbg)
+    dq_dbg, dp_dbg, dp_dba, dv_dbg, dv_dba = J
+    dp_dbg = dp_dbg + dt * dv_dbg - 0.5 * dt * dt * Ra @ dq_dbg
+    dp_dba = dp_dba + dt * dv_dba - 0.5 * dt * dt * Rd
+    dv_dbg = dv_dbg - dt * Ra @ dq_dbg
+    dv_dba = dv_dba - dt * Rd
+    dq_dbg = Rstep_T @ dq_dbg - dt * Jr
+
+    a_world = lie.quat_rotate(q, a)
+    p = p + dt * v + 0.5 * dt * dt * a_world
+    v = v + dt * a_world
+    q = lie.quat_normalize(lie.quat_mul(q, dq))
+    t = t + dt
+    return (t, q, p, v, cov9, covbg, covba, (dq_dbg, dp_dbg, dp_dba, dv_dbg, dv_dba)), None
+
+
+def preintegrate(ts, ws, accs, mask, t_target, bg, ba, noise,
+                 compute_covariance=True):
+    """Integrate a padded IMU sample buffer into a PreintDelta.
+
+    ts (N,): sample timestamps (ascending among masked-in entries);
+    ws, accs (N, 3); mask (N,) bool; t_target: end time (frame timestamp);
+    bg, ba (3,): fixed biases used for linearization.
+
+    Mirrors PreIntegrator::integrate (preintegrator.cpp:88-96): sample i
+    integrates with dt = t_{i+1} - t_i, the last sample with
+    dt = t_target - t_last. Padded entries integrate with dt = 0.
+    """
+    dtype = ws.dtype
+    n = ts.shape[0]
+    m = mask.astype(dtype)
+    count = jnp.sum(mask)
+    # next masked timestamp; for the last masked sample use t_target
+    idx = jnp.arange(n)
+    is_last = idx == (count - 1)
+    t_next = jnp.where(is_last, t_target, jnp.roll(ts, -1))
+    dts = jnp.maximum(t_next - ts, 0.0) * m
+
+    init = (
+        jnp.zeros((), dtype),
+        jnp.array([1.0, 0, 0, 0], dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros((9, 9), dtype),
+        jnp.zeros((3, 3), dtype),
+        jnp.zeros((3, 3), dtype),
+        (
+            jnp.zeros((3, 3), dtype),
+            jnp.zeros((3, 3), dtype),
+            jnp.zeros((3, 3), dtype),
+            jnp.zeros((3, 3), dtype),
+            jnp.zeros((3, 3), dtype),
+        ),
+    )
+    bgb = jnp.broadcast_to(bg, (n, 3))
+    bab = jnp.broadcast_to(ba, (n, 3))
+    step = lambda c, x: _increment(c, x, noise)
+    (t, q, p, v, cov9, covbg, covba, J), _ = jax.lax.scan(
+        step, init, (dts, ws, accs, bgb, bab)
+    )
+
+    cov = jnp.zeros((15, 15), dtype)
+    cov = cov.at[:9, :9].set(cov9)
+    cov = cov.at[ES_BG : ES_BG + 3, ES_BG : ES_BG + 3].set(covbg)
+    cov = cov.at[ES_BA : ES_BA + 3, ES_BA : ES_BA + 3].set(covba)
+
+    if compute_covariance:
+        sqrt_inv_cov = sqrt_inv_covariance(cov)
+    else:
+        sqrt_inv_cov = jnp.zeros((15, 15), dtype)
+    return PreintDelta(t, q, p, v, cov, sqrt_inv_cov, *J)
+
+
+def sqrt_inv_covariance(cov):
+    """Upper-triangular S with S^T S = cov^{-1} (preintegrator.cpp:98-100:
+    LLT of cov.inverse(), matrixL().transpose()). Jittered for float32."""
+    dtype = cov.dtype
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
+    scale = jnp.maximum(jnp.trace(cov) / 15.0, 1e-30)
+    covj = cov + eps * scale * jnp.eye(15, dtype=dtype)
+    inv = jnp.linalg.inv(covj)
+    inv = 0.5 * (inv + inv.T)
+    L = jnp.linalg.cholesky(inv)
+    return L.T
+
+
+def predict(delta: PreintDelta, q, p, v, bg, ba):
+    """Constant-bias forward propagation with gravity
+    (preintegrator.cpp:102-109). Returns (q', p', v', bg, ba)."""
+    g = jnp.array([0.0, 0.0, -GRAVITY_NOMINAL], dtype=p.dtype)
+    v_new = v + g * delta.t + lie.quat_rotate(q, delta.v)
+    p_new = p + 0.5 * g * delta.t**2 + v * delta.t + lie.quat_rotate(q, delta.p)
+    q_new = lie.quat_mul(q, delta.q)
+    return q_new, p_new, v_new, bg, ba
