@@ -1,0 +1,429 @@
+"""Batched sliding-window bundle adjustment: Levenberg-Marquardt with
+landmark Schur elimination, built from dense masked einsums.
+
+TPU-native replacement for the reference's Ceres SPARSE_SCHUR + DOGLEG
+solve (bundle_adjustor.cpp:52-346, solver_options.h:26-33). Design:
+
+  * The problem has fixed shape: F frame slots x T track slots. Every
+    factor is evaluated on the dense (F, T) observation grid under masks;
+    dead entries contribute exact zeros.
+  * Jacobians come from forward-mode autodiff *through the retraction* at
+    the linearization point (the reference's local-parameterization trick,
+    quaternion_parameterization.h:27-44), per factor, vmapped.
+  * Per-factor Jacobians are densified into the global Gauss-Newton system
+    with one-hot einsums — H assembly is pure matmul work for the MXU, no
+    scatters (SURVEY §7: "explicit landmark Schur elimination").
+  * Landmark (inverse-depth) block is diagonal => Schur elimination is an
+    elementwise divide + one (F*15 x T) @ (T x F*15) matmul; the reduced
+    camera system (F*15)^2 is solved densely by Cholesky.
+  * Robustness: Cauchy(1.0) IRLS weights on reprojection and plane factors
+    (bundle_adjustor.cpp:142-196 uses ceres::CauchyLoss(1.0)).
+  * Gauge: FIX_POSE frames (initializer.cpp:91-93) are handled by masking
+    their (theta, p) tangent dims instead of the reference's 1e15
+    information prior — float32-safe on TPU.
+
+Factor selection semantics preserved from bundle_adjustor.cpp:91-242:
+  - reprojection for TF_VALID tracks, skipping the reference-frame
+    observation; plane tracks keep reprojection while their plane has
+    < 20 member tracks, and switch to the augmented plane factor when the
+    plane is "big";
+  - preintegration between consecutive frames (use_inertial only);
+  - marginalization prior over all frames;
+  - plane normal/distance held constant during BA.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pvio_tpu.estimation import factors
+from pvio_tpu.geometry import camera, lie
+from pvio_tpu.imu.preintegration import PreintDelta
+from pvio_tpu.map import window as win
+from pvio_tpu.map.window import TF_PLANE, TF_VALID, Extrinsics, WindowState
+from pvio_tpu.utils.autodiff import value_and_jacfwd
+
+
+class BAConfig(NamedTuple):
+    """Solver knobs (reference Config defaults, config.cpp:24-93)."""
+
+    iterations: int = 10              # solver_iteration_limit (euroc.yaml:65)
+    kp_sqrt_inv_cov: float = 458.0    # focal / keypoint sigma, whitens normalized residuals
+    plane_sqrt_inv_cov: float = 100.0  # 1/sqrt(plane_distance_cov) (pvio-pc config plane.noise 1e-4)
+    min_plane_tracks: int = 20        # bundle_adjustor.cpp:162
+    use_inertial: bool = True
+    use_planes: bool = True
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 0.5
+    lm_lambda_min: float = 1e-10
+    lm_lambda_max: float = 1e8
+
+
+# ----------------------------------------------------------------------------
+# factor masks
+# ----------------------------------------------------------------------------
+
+def _factor_masks(w: WindowState, cfg: BAConfig):
+    F, T = w.kp.shape[0], w.kp.shape[1]
+    P = w.plane_mask.shape[0]
+    is_valid = (w.track_flags & TF_VALID) != 0
+    is_plane = (w.track_flags & TF_PLANE) != 0
+
+    if cfg.use_planes:
+        pid = jnp.clip(w.plane_id, 0, P - 1)
+        member = w.track_mask & is_plane & (w.plane_id >= 0)
+        counts = jnp.zeros(P, jnp.int32).at[pid].add(member.astype(jnp.int32) * 1)
+        plane_big = (counts >= cfg.min_plane_tracks) & w.plane_mask
+        big_track = member & plane_big[pid]
+    else:
+        big_track = jnp.zeros(T, bool)
+
+    repro_track = w.track_mask & (is_valid | is_plane) & ~big_track
+    fm = w.frame_mask
+    not_ref = jnp.arange(F)[:, None] != w.ref_frame[None, :]
+    repro_mask = w.obs_mask & fm[:, None] & repro_track[None, :] & not_ref
+    ref_ok = fm[w.ref_frame]  # reference frame must be alive
+    repro_mask = repro_mask & ref_ok[None, :]
+    depth_active = repro_track & ref_ok & jnp.any(repro_mask, axis=0)
+    plane_track = big_track & ref_ok
+    return repro_mask, depth_active, plane_track
+
+
+def _active_dims(w: WindowState):
+    """(F, 15) float mask of active tangent dims: dead frames fully
+    inactive; FIX_POSE frames freeze (theta, p)."""
+    F = w.q.shape[0]
+    dtype = w.p.dtype
+    m = jnp.broadcast_to(w.frame_mask[:, None], (F, 15)).astype(dtype)
+    first6 = (jnp.arange(15) < 6).astype(dtype)
+    m = m * (1.0 - w.fix_mask[:, None].astype(dtype) * first6[None, :])
+    return m
+
+
+# ----------------------------------------------------------------------------
+# residual evaluation (shared by cost and linearization)
+# ----------------------------------------------------------------------------
+
+def _cauchy_w(s):
+    """IRLS weight of ceres::CauchyLoss(1.0): rho(s) = log(1+s),
+    w = rho'(s) = 1/(1+s), applied as sqrt(w) on residual and Jacobian."""
+    return 1.0 / (1.0 + s)
+
+
+def _repro_residual_t(delta13, q_t, p_t, q_r, p_r, d, z_r, z_t, extr, sic):
+    q_tgt = lie.quat_mul(q_t, lie.expmap(delta13[0:3]))
+    p_tgt = p_t + delta13[3:6]
+    q_ref = lie.quat_mul(q_r, lie.expmap(delta13[6:9]))
+    p_ref = p_r + delta13[9:12]
+    return factors.reprojection_residual(
+        q_tgt, p_tgt, q_ref, p_ref, d + delta13[12], z_r, z_t, extr, sic
+    )
+
+
+def _preint_residual_t(delta30, qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj,
+                       delta, bg_lin, ba_lin, extr):
+    di, dj = delta30[:15], delta30[15:]
+    return factors.preintegration_residual(
+        lie.quat_mul(qi, lie.expmap(di[0:3])), pi + di[3:6], vi + di[6:9],
+        bgi + di[9:12], bai + di[12:15],
+        lie.quat_mul(qj, lie.expmap(dj[0:3])), pj + dj[3:6], vj + dj[6:9],
+        bgj + dj[9:12], baj + dj[12:15],
+        delta, bg_lin, ba_lin, extr,
+    )
+
+
+def _plane_residual_t(delta6F, q, p, kps, mask, normal, dist, extr, sic):
+    # delta6F: (F*6,) pose tangent of all frames
+    d = delta6F.reshape(-1, 6)
+    qd = lie.quat_mul(q, lie.expmap(d[:, 0:3]))
+    pd = p + d[:, 3:6]
+    return factors.augmented_plane_distance_residual(
+        qd, pd, kps, mask, normal, dist, extr, sic
+    )
+
+
+def _marg_residual_t(deltaF15, w: WindowState):
+    d = deltaF15.reshape(-1, 15)
+    q = lie.quat_mul(w.q, lie.expmap(d[:, 0:3]))
+    return factors.marginalization_residual(
+        q, w.p + d[:, 3:6], w.v + d[:, 6:9], w.bg + d[:, 9:12],
+        w.ba + d[:, 12:15], w.prior,
+    )
+
+
+def _gather_track_inputs(w: WindowState):
+    """Per-(f, t) gathered reference-frame quantities."""
+    q_ref = w.q[w.ref_frame]            # (T, 4)
+    p_ref = w.p[w.ref_frame]            # (T, 3)
+    T = w.kp.shape[1]
+    z_ref = jnp.take_along_axis(w.kp, w.ref_frame[None, :, None], axis=0)[0]  # (T, 2)
+    return q_ref, p_ref, z_ref
+
+
+def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig):
+    """Total robustified cost at the current state (no Jacobians)."""
+    dtype = w.p.dtype
+    repro_mask, depth_active, plane_track = _factor_masks(w, cfg)
+    q_ref, p_ref, z_ref = _gather_track_inputs(w)
+    sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
+
+    def one_obs(q_t, p_t, z_t, q_r, p_r, z_r, d):
+        return factors.reprojection_residual(q_t, p_t, q_r, p_r, d, z_r, z_t, extr, sic)
+
+    r = jax.vmap(  # over frames
+        jax.vmap(one_obs, in_axes=(None, None, 0, 0, 0, 0, 0)),
+        in_axes=(0, 0, 0, None, None, None, None),
+    )(w.q, w.p, w.kp, q_ref, p_ref, z_ref, w.inv_depth)  # (F, T, 2)
+    s = jnp.sum(r * r, axis=-1) * repro_mask.astype(dtype)
+    cost = jnp.sum(jnp.log1p(s) * repro_mask.astype(dtype))
+
+    if cfg.use_inertial:
+        mask_pre = w.frame_mask[:-1] & w.frame_mask[1:] & w.delta_valid[1:]
+        delta_j = jax.tree.map(lambda a: a[1:], w.delta)
+        rp = jax.vmap(
+            lambda qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al:
+            factors.preintegration_residual(qi, pi, vi, bgi, bai, qj, pj, vj,
+                                            bgj, baj, dd, bl, al, extr)
+        )(w.q[:-1], w.p[:-1], w.v[:-1], w.bg[:-1], w.ba[:-1],
+          w.q[1:], w.p[1:], w.v[1:], w.bg[1:], w.ba[1:],
+          delta_j, w.bg_lin[1:], w.ba_lin[1:])
+        cost = cost + jnp.sum(jnp.sum(rp * rp, axis=-1) * mask_pre.astype(dtype))
+
+    rm = factors.marginalization_residual(w.q, w.p, w.v, w.bg, w.ba, w.prior)
+    cost = cost + jnp.sum(rm * rm)
+
+    if cfg.use_planes:
+        P = w.plane_mask.shape[0]
+        pid = jnp.clip(w.plane_id, 0, P - 1)
+        psic = jnp.asarray(cfg.plane_sqrt_inv_cov, dtype)
+        obs_cols = w.obs_mask & w.frame_mask[:, None]
+
+        def one_plane_track(kps, omask, n, dist):
+            return factors.augmented_plane_distance_residual(
+                w.q, w.p, kps, omask, n, dist, extr, psic
+            )
+
+        rpl = jax.vmap(one_plane_track, in_axes=(1, 1, 0, 0))(
+            w.kp, obs_cols, w.plane_normal[pid], w.plane_distance[pid]
+        )  # (T,)
+        spl = rpl * rpl * plane_track.astype(dtype)
+        cost = cost + jnp.sum(jnp.log1p(spl) * plane_track.astype(dtype))
+    return cost
+
+
+# ----------------------------------------------------------------------------
+# linearization: build (Hpp, Hpd, Hdd, bp, bd)
+# ----------------------------------------------------------------------------
+
+def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig):
+    F, T = w.kp.shape[0], w.kp.shape[1]
+    dtype = w.p.dtype
+    repro_mask, depth_active, plane_track = _factor_masks(w, cfg)
+    q_ref, p_ref, z_ref = _gather_track_inputs(w)
+    sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
+
+    Hpp = jnp.zeros((F, 15, F, 15), dtype)
+    bp = jnp.zeros((F, 15), dtype)
+
+    # ---- reprojection over the dense (F, T) grid ----
+    def one_obs(q_t, p_t, z_t, q_r, p_r, z_r, d):
+        f = lambda dd: _repro_residual_t(dd, q_t, p_t, q_r, p_r, d, z_r, z_t, extr, sic)
+        return value_and_jacfwd(f, jnp.zeros(13, dtype))
+
+    r, J = jax.vmap(
+        jax.vmap(one_obs, in_axes=(None, None, 0, 0, 0, 0, 0)),
+        in_axes=(0, 0, 0, None, None, None, None),
+    )(w.q, w.p, w.kp, q_ref, p_ref, z_ref, w.inv_depth)  # r (F,T,2), J (F,T,2,13)
+
+    m = repro_mask.astype(dtype)
+    s = jnp.sum(r * r, axis=-1)
+    sqrt_wgt = jnp.sqrt(_cauchy_w(s)) * m          # (F, T)
+    cost = jnp.sum(jnp.log1p(s) * m)
+    r_w = r * sqrt_wgt[..., None]
+    J_w = J * sqrt_wgt[..., None, None]
+    J_tgt = J_w[..., 0:6]    # (F, T, 2, 6)
+    J_ref = J_w[..., 6:12]
+    J_d = J_w[..., 12]       # (F, T, 2)
+
+    eyeF = jnp.eye(F, dtype=dtype)
+    onehot_ref = eyeF[w.ref_frame]  # (T, F)
+    # full per-observation pose Jacobian (F, T, 2, F, 6)
+    Jfull = jnp.einsum("ftai,fg->ftagi", J_tgt, eyeF) + jnp.einsum(
+        "ftai,tg->ftagi", J_ref, onehot_ref
+    )
+    Hpose = jnp.einsum("ftagi,ftahj->gihj", Jfull, Jfull)
+    Hpp = Hpp.at[:, 0:6, :, 0:6].add(Hpose)
+    bp = bp.at[:, 0:6].add(jnp.einsum("ftagi,fta->gi", Jfull, r_w))
+    Hpd = jnp.zeros((F, 15, T), dtype)
+    Hpd = Hpd.at[:, 0:6, :].set(jnp.einsum("ftagi,fta->git", Jfull, J_d))
+    Hdd = jnp.einsum("fta,fta->t", J_d, J_d)
+    bd = jnp.einsum("fta,fta->t", J_d, r_w)
+
+    # ---- preintegration factors between consecutive frames ----
+    if cfg.use_inertial:
+        mask_pre = (w.frame_mask[:-1] & w.frame_mask[1:] & w.delta_valid[1:]).astype(dtype)
+        delta_j = jax.tree.map(lambda a: a[1:], w.delta)
+
+        def one_pre(qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al):
+            f = lambda d30: _preint_residual_t(
+                d30, qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al, extr
+            )
+            return value_and_jacfwd(f, jnp.zeros(30, dtype))
+
+        rp, Jp = jax.vmap(one_pre)(
+            w.q[:-1], w.p[:-1], w.v[:-1], w.bg[:-1], w.ba[:-1],
+            w.q[1:], w.p[1:], w.v[1:], w.bg[1:], w.ba[1:],
+            delta_j, w.bg_lin[1:], w.ba_lin[1:],
+        )  # rp (F-1, 15), Jp (F-1, 15, 30)
+        rp = rp * mask_pre[:, None]
+        Jp = Jp * mask_pre[:, None, None]
+        cost = cost + jnp.sum(rp * rp)
+        Ei = eyeF[:-1]  # (F-1, F) one-hot of frame j-1
+        Ej = eyeF[1:]
+        Jfull_pre = jnp.einsum("kri,kg->krgi", Jp[..., :15], Ei) + jnp.einsum(
+            "kri,kg->krgi", Jp[..., 15:], Ej
+        )  # (F-1, 15, F, 15)
+        Hpp = Hpp + jnp.einsum("krgi,krhj->gihj", Jfull_pre, Jfull_pre)
+        bp = bp + jnp.einsum("krgi,kr->gi", Jfull_pre, rp)
+
+    # ---- marginalization prior ----
+    fmarg = lambda dF15: _marg_residual_t(dF15, w)
+    rm, Jm = value_and_jacfwd(fmarg, jnp.zeros(F * 15, dtype))  # (F15,), (F15, F15)
+    cost = cost + jnp.sum(rm * rm)
+    Hpp = Hpp + (Jm.T @ Jm).reshape(F, 15, F, 15)
+    bp = bp + (Jm.T @ rm).reshape(F, 15)
+
+    # ---- augmented plane factors ----
+    if cfg.use_planes:
+        P = w.plane_mask.shape[0]
+        pid = jnp.clip(w.plane_id, 0, P - 1)
+        psic = jnp.asarray(cfg.plane_sqrt_inv_cov, dtype)
+        obs_cols = w.obs_mask & w.frame_mask[:, None]
+
+        def one_plane(kps, omask, n, dist):
+            f = lambda d6F: _plane_residual_t(d6F, w.q, w.p, kps, omask, n, dist, extr, psic)
+            return value_and_jacfwd(f, jnp.zeros(F * 6, dtype))
+
+        rpl, Jpl = jax.vmap(one_plane, in_axes=(1, 1, 0, 0))(
+            w.kp, obs_cols, w.plane_normal[pid], w.plane_distance[pid]
+        )  # (T,), (T, F*6)
+        mp = plane_track.astype(dtype)
+        spl = rpl * rpl
+        wpl = jnp.sqrt(_cauchy_w(spl)) * mp
+        cost = cost + jnp.sum(jnp.log1p(spl) * mp)
+        rpl_w = rpl * wpl
+        Jpl_w = (Jpl * wpl[:, None]).reshape(T, F, 6)
+        Hpl = jnp.einsum("tgi,thj->gihj", Jpl_w, Jpl_w)
+        Hpp = Hpp.at[:, 0:6, :, 0:6].add(Hpl)
+        bp = bp.at[:, 0:6].add(jnp.einsum("tgi,t->gi", Jpl_w, rpl_w))
+
+    return Hpp.reshape(F * 15, F * 15), Hpd.reshape(F * 15, T), Hdd, bp.reshape(F * 15), bd, depth_active, cost
+
+
+# ----------------------------------------------------------------------------
+# LM solve with Schur elimination
+# ----------------------------------------------------------------------------
+
+def _lm_step(w: WindowState, extr, cfg, lam):
+    F, T = w.kp.shape[0], w.kp.shape[1]
+    dtype = w.p.dtype
+    Hpp, Hpd, Hdd, bp, bd, depth_active, cost0 = linearize(w, extr, cfg)
+
+    m = _active_dims(w).reshape(-1)       # (F*15,)
+    da = depth_active.astype(dtype)
+    Hpp = Hpp * m[:, None] * m[None, :]
+    bp = bp * m
+    Hpd = Hpd * m[:, None] * da[None, :]
+    bd = bd * da
+    Hdd = jnp.where(depth_active, Hdd, 1.0)
+
+    # LM damping: scale diagonals
+    diag = jnp.diag(Hpp)
+    diag_floor = jnp.maximum(diag, 1e-8)
+    Hpp_d = Hpp + jnp.diag(lam * diag_floor + (1.0 - m))  # inactive dims get unit diag
+    Hdd_d = Hdd * (1.0 + lam)
+
+    # Schur: eliminate depths
+    Hdd_inv = 1.0 / Hdd_d
+    Hred = Hpp_d - (Hpd * Hdd_inv[None, :]) @ Hpd.T
+    bred = bp - Hpd @ (bd * Hdd_inv)
+    # solve Hred dp = -bred
+    jitter = 1e-9 * jnp.trace(Hred) / (F * 15)
+    L = jax.scipy.linalg.cho_factor(Hred + jitter * jnp.eye(F * 15, dtype=dtype))
+    dp = jax.scipy.linalg.cho_solve(L, -bred) * m
+    dd = (-bd - Hpd.T @ dp) * Hdd_inv * da
+
+    w_new = win.retract(w, dp.reshape(F, 15), dd)
+    cost1 = evaluate_cost(w_new, extr, cfg)
+    return w_new, cost0, cost1
+
+
+def solve(w: WindowState, extr: Extrinsics, cfg: BAConfig):
+    """Run cfg.iterations LM steps (reference: <=10 dogleg iterations,
+    solver_options.h:26-33). Returns (w_final, info dict)."""
+    dtype = w.p.dtype
+    lam0 = jnp.asarray(cfg.lm_lambda_init, dtype)
+
+    def body(carry, _):
+        w, lam = carry
+        w_new, cost0, cost1 = _lm_step(w, extr, cfg, lam)
+        accept = cost1 < cost0
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam * cfg.lm_lambda_down, cfg.lm_lambda_min),
+            jnp.minimum(lam * cfg.lm_lambda_up, cfg.lm_lambda_max),
+        )
+        w = jax.tree.map(lambda a, b: jnp.where(accept, b, a), w, w_new)
+        return (w, lam), (cost0, cost1, accept)
+
+    (w, lam), (costs0, costs1, accepts) = jax.lax.scan(
+        body, (w, lam0), None, length=cfg.iterations
+    )
+    info = {
+        "initial_cost": costs0[0],
+        "final_cost": jnp.where(accepts[-1], costs1[-1], costs0[-1]),
+        "accepted": jnp.sum(accepts),
+        "lambda": lam,
+    }
+    return w, info
+
+
+# ----------------------------------------------------------------------------
+# post-solve track maintenance (bundle_adjustor.cpp:251-299)
+# ----------------------------------------------------------------------------
+
+def post_solve_update(w: WindowState, extr: Extrinsics, K, min_z=1.0e-3, max_z=50.0):
+    """Depth gating + quality update after a BA solve.
+
+    For every VALID track: landmark point must project with depth in
+    (min_z, max_z) in every observing frame, else the track is
+    invalidated; quality = mean pixel reprojection error
+    (bundle_adjustor.cpp:277-296). Plane-track escape is handled by the
+    plane subsystem.
+    """
+    dtype = w.p.dtype
+    x = win.landmark_points(w, extr)  # (T, 3)
+    # camera pose of every frame: q_ws = q_wb * q_bc, p_ws = p + q_wb p_bc
+    q_ws = lie.quat_mul(w.q, jnp.broadcast_to(extr.q_bc, w.q.shape))
+    p_ws = w.p + lie.quat_rotate(w.q, jnp.broadcast_to(extr.p_bc, w.p.shape))
+    y = lie.quat_rotate(
+        lie.quat_conj(q_ws)[:, None, :], x[None, :, :] - p_ws[:, None, :]
+    )  # (F, T, 3)
+    z = y[..., 2]
+    obs = w.obs_mask & w.frame_mask[:, None]
+    bad = jnp.any(obs & ((z <= min_z) | (z > max_z)), axis=0)
+
+    proj = camera.project(y)
+    err_px = jnp.linalg.norm(
+        camera.apply_k(proj, K) - camera.apply_k(w.kp, K), axis=-1
+    )
+    cnt = jnp.maximum(jnp.sum(obs, axis=0).astype(dtype), 1.0)
+    quality = jnp.sum(jnp.where(obs, err_px, 0.0), axis=0) / cnt
+
+    is_valid = (w.track_flags & TF_VALID) != 0
+    flags = jnp.where(bad, w.track_flags & ~(TF_VALID | TF_PLANE), w.track_flags)
+    quality = jnp.where(is_valid & ~bad, quality, w.quality)
+    return w._replace(track_flags=flags, quality=quality)

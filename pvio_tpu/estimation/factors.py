@@ -1,0 +1,203 @@
+"""Factor residuals for sliding-window visual-inertial bundle adjustment.
+
+Pure functions of (state, measurement) -> whitened residual, re-designing
+the Ceres cost functions of reference pvio/src/pvio/estimation/ceres/*.h.
+Jacobians are NOT hand-coded: the solver differentiates each residual
+through the retraction at the linearization point (jacfwd over the tangent
+delta), which reproduces the reference's local-parameterization trick
+(QuaternionParameterization + 2x4 Jacobians with zeroed 4th column,
+quaternion_parameterization.h:27-44) exactly but lets XLA fuse the chain.
+The sole exception is the implicit triangulation inside the plane factor,
+which gets a custom JVP (see `_solve_augmented_point`) because its value
+path goes through a clamped eigen-pseudo-inverse.
+
+All functions broadcast over leading batch dims unless noted.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pvio_tpu.geometry import camera, lie
+from pvio_tpu.imu.preintegration import GRAVITY_NOMINAL, PreintDelta
+from pvio_tpu.map.window import Extrinsics
+
+GRAVITY = (0.0, 0.0, -GRAVITY_NOMINAL)
+
+
+def reprojection_residual(
+    q_tgt, p_tgt, q_ref, p_ref, inv_depth, z_ref, z_tgt, extr: Extrinsics,
+    sqrt_inv_cov,
+):
+    """Inverse-depth reprojection residual (reprojection_error_cost.h:31-126).
+
+    The landmark lives at depth 1/inv_depth along the bearing [z_ref, 1] in
+    the *first observing* camera; it is mapped through body-camera
+    extrinsics into the target camera. Returns (2,) whitened residual.
+    sqrt_inv_cov: scalar or (2, 2) keypoint information square root.
+    """
+    inv_d = jnp.where(jnp.abs(inv_depth) < 1e-12, 1e-12, inv_depth)
+    y_ref = jnp.concatenate([z_ref, jnp.ones_like(z_ref[..., :1])], axis=-1) / inv_d[..., None]
+    y_ref_center = lie.quat_rotate(extr.q_bc, y_ref) + extr.p_bc
+    x = lie.quat_rotate(q_ref, y_ref_center) + p_ref
+    y_tgt_center = lie.quat_rotate(lie.quat_conj(q_tgt), x - p_tgt)
+    y_tgt = lie.quat_rotate(lie.quat_conj(extr.q_bc), y_tgt_center - extr.p_bc)
+    r = camera.project(y_tgt) - z_tgt
+    return _whiten2(r, sqrt_inv_cov)
+
+
+def pose_only_reprojection_residual(q_tgt, p_tgt, x_world, z_tgt, extr, sqrt_inv_cov):
+    """Fixed-landmark variant (PoseOnlyReprojectionXYZErrorCost,
+    reprojection_error_cost.h:159-203) used by motion-only PnP."""
+    y_tgt_center = lie.quat_rotate(lie.quat_conj(q_tgt), x_world - p_tgt)
+    y_tgt = lie.quat_rotate(lie.quat_conj(extr.q_bc), y_tgt_center - extr.p_bc)
+    r = camera.project(y_tgt) - z_tgt
+    return _whiten2(r, sqrt_inv_cov)
+
+
+def _whiten2(r, sqrt_inv_cov):
+    S = jnp.asarray(sqrt_inv_cov)
+    if S.ndim == 0:
+        return S * r
+    return jnp.einsum("ij,...j->...i", S, r)
+
+
+def preintegration_residual(
+    q_i, p_i, v_i, bg_i, ba_i,
+    q_j, p_j, v_j, bg_j, ba_j,
+    delta: PreintDelta, bg_lin, ba_lin, extr: Extrinsics,
+):
+    """15-dim preintegration residual with first-order bias correction
+    (preintegration_error_cost.h:31-165), whitened by delta.sqrt_inv_cov.
+
+    q_i/p_i are *body-center* states; the residual acts on imu-sensor
+    frames through the body-imu extrinsic (preintegration_error_cost.h:60-63).
+    bg_lin/ba_lin: the bias at which delta was integrated (frame i's bias).
+    """
+    g = jnp.asarray(GRAVITY, q_i.dtype)
+    qi = lie.quat_mul(q_i, extr.q_bi)
+    pi = p_i + lie.quat_rotate(q_i, extr.p_bi)
+    qj = lie.quat_mul(q_j, extr.q_bi)
+    pj = p_j + lie.quat_rotate(q_j, extr.p_bi)
+
+    dt = delta.t
+    dbg = bg_i - bg_lin
+    dba = ba_i - ba_lin
+
+    dq_corr = lie.quat_mul(delta.q, lie.expmap(delta.dq_dbg @ dbg))
+    qi_conj = lie.quat_conj(qi)
+    rq = lie.logmap(lie.quat_mul(lie.quat_conj(dq_corr), lie.quat_mul(qi_conj, qj)))
+    rp = lie.quat_rotate(qi_conj, pj - pi - dt * v_i - 0.5 * dt * dt * g) - (
+        delta.p + delta.dp_dbg @ dbg + delta.dp_dba @ dba
+    )
+    rv = lie.quat_rotate(qi_conj, v_j - v_i - dt * g) - (
+        delta.v + delta.dv_dbg @ dbg + delta.dv_dba @ dba
+    )
+    r = jnp.concatenate([rq, rp, rv, bg_j - bg_i, ba_j - ba_i])
+    return delta.sqrt_inv_cov @ r
+
+
+def marginalization_residual(q, p, v, bg, ba, prior):
+    """Prior residual over all frame slots
+    (marginalization_error_cost.h:53-93): r = sqrt_info @ dx + infovec with
+    dx_i = [log(q0_i^-1 q_i); p - p0; v - v0; bg - bg0; ba - ba0].
+
+    q (F, 4), p/v/bg/ba (F, 3). Returns (F*15,).
+    """
+    rq = lie.logmap(lie.quat_mul(lie.quat_conj(prior.q0), q))
+    dx = jnp.concatenate(
+        [rq, p - prior.p0, v - prior.v0, bg - prior.bg0, ba - prior.ba0], axis=-1
+    )  # (F, 15)
+    return prior.sqrt_info @ dx.reshape(-1) + prior.infovec
+
+
+# ----------------------------------------------------------------------------
+# Plane factor: implicit DLT triangulation augmented with a plane row
+# ----------------------------------------------------------------------------
+
+@jax.custom_jvp
+def _solve_augmented_point(A, b):
+    """x = -pinv(A^T A) A^T b with eigenvalues clamped at 1e-8
+    (augmented_plane_distance_error_cost.h:87-96). The JVP comes from the
+    normal equations (A^T A) x = -A^T b via the implicit function theorem —
+    the same formulas as the reference's analytic Jacobians
+    (:98-131) — avoiding differentiation through the eigendecomposition.
+    A (..., R, 3), b (..., R)."""
+    AtA = jnp.einsum("...ri,...rj->...ij", A, A)
+    Atb = jnp.einsum("...ri,...r->...i", A, b)
+    lam, V = jnp.linalg.eigh(AtA)
+    lam_inv = jnp.where(lam > 1e-8, 1.0 / jnp.where(lam > 1e-8, lam, 1.0), 0.0)
+    AtAinv = jnp.einsum("...ik,...k,...jk->...ij", V, lam_inv, V)
+    return -jnp.einsum("...ij,...j->...i", AtAinv, Atb)
+
+
+@_solve_augmented_point.defjvp
+def _solve_augmented_point_jvp(primals, tangents):
+    A, b = primals
+    dA, db = tangents
+    AtA = jnp.einsum("...ri,...rj->...ij", A, A)
+    Atb = jnp.einsum("...ri,...r->...i", A, b)
+    lam, V = jnp.linalg.eigh(AtA)
+    lam_inv = jnp.where(lam > 1e-8, 1.0 / jnp.where(lam > 1e-8, lam, 1.0), 0.0)
+    AtAinv = jnp.einsum("...ik,...k,...jk->...ij", V, lam_inv, V)
+    x = -jnp.einsum("...ij,...j->...i", AtAinv, Atb)
+    # residual of the normal equations: d(AtA) x + d(Atb) =
+    #   dA^T (A x + b) + A^T (dA x + db)
+    Axb = jnp.einsum("...ri,...i->...r", A, x) + b
+    rhs = jnp.einsum("...ri,...r->...i", dA, Axb) + jnp.einsum(
+        "...ri,...r->...i", A, jnp.einsum("...ri,...i->...r", dA, x) + db
+    )
+    dx = -jnp.einsum("...ij,...j->...i", AtAinv, rhs)
+    return x, dx
+
+
+def plane_point_rows(q_frames, p_frames, kps, mask, extr: Extrinsics):
+    """DLT rows of one track across its observing frames
+    (augmented_plane_distance_error_cost.h:59-76).
+
+    q_frames (F, 4), p_frames (F, 3), kps (F, 2), mask (F,).
+    Returns (A (2F, 3), b (2F,)); masked-out frames give zero rows.
+    """
+    q_ws = lie.quat_mul(q_frames, extr.q_bc[None])  # world <- sensor
+    Rsw = lie.quat_to_mat(lie.quat_conj(q_ws))      # (F, 3, 3) world -> sensor
+    p_sensor = p_frames + lie.quat_rotate(q_frames, extr.p_bc[None])
+    Tsw = -jnp.einsum("fij,fj->fi", Rsw, p_sensor)  # (F, 3)
+    u = kps[:, 0:1]
+    v = kps[:, 1:2]
+    a0 = u * Rsw[:, 2, :] - Rsw[:, 0, :]
+    a1 = v * Rsw[:, 2, :] - Rsw[:, 1, :]
+    b0 = u[:, 0] * Tsw[:, 2] - Tsw[:, 0]
+    b1 = v[:, 0] * Tsw[:, 2] - Tsw[:, 1]
+    m = mask.astype(kps.dtype)[:, None]
+    A = jnp.concatenate([a0 * m, a1 * m], axis=0)           # (2F, 3)
+    b = jnp.concatenate([b0 * m[:, 0], b1 * m[:, 0]], axis=0)
+    return A, b
+
+
+def augmented_plane_distance_residual(
+    q_frames, p_frames, kps, mask, normal, distance, extr: Extrinsics,
+    sqrt_inv_cov, regularization_weight=1.0,
+):
+    """The paper's multi-plane prior factor
+    (augmented_plane_distance_error_cost.h:32-143): triangulate the track
+    from all observing poses with an extra plane-regularization row
+    (w*n | w*d), then penalize the signed plane distance n.x - d of the
+    implicit point. Scalar whitened residual."""
+    A, b = plane_point_rows(q_frames, p_frames, kps, mask, extr)
+    w = jnp.asarray(regularization_weight, A.dtype)
+    A = jnp.concatenate([A, (w * normal)[None, :]], axis=0)
+    b = jnp.concatenate([b, (w * distance)[None]], axis=0)
+    x = _solve_augmented_point(A, b)
+    r = jnp.dot(normal, x) - distance
+    return sqrt_inv_cov * r
+
+
+def plane_cast_point(normal, distance, origin, bearing):
+    """Ray-cast from origin along bearing onto the plane n.x = d
+    (map/plane.cpp:120-126). Returns the 3D intersection (garbage when
+    near-parallel — callers gate on |n.bearing|)."""
+    denom = jnp.sum(normal * bearing, axis=-1)
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    s = (distance - jnp.sum(normal * origin, axis=-1)) / denom
+    return origin + s[..., None] * bearing
