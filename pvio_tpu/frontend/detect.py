@@ -1,0 +1,126 @@
+"""Keypoint detection: Shi-Tomasi response + Poisson-disk-spaced top-K.
+
+Re-design of reference OpenCvImage::detect_keypoints
+(opencv_image.cpp:54-86: cv::GFTT(1000, 1e-3, 20) sorted by response, then
+PoissonDiskFilter against existing keypoints, 20 px border cull) and
+Frame::detect_keypoints (frame.cpp:72-87). Fixed shapes throughout: the
+greedy minimum-distance selection runs a static K-step loop over a static
+C-candidate pool — the jit-friendly equivalent of the reference's
+response-sorted greedy sweep with a sparse-grid distance filter
+(utility/poisson_disk_filter.h:25-130).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pvio_tpu.frontend import image as img_ops
+
+
+def shi_tomasi_response(img, window=3):
+    """Min-eigenvalue corner response (GFTT's score), same shape as img."""
+    Ix, Iy = img_ops.gradients(img)
+    k = jnp.ones((window, window), img.dtype) / (window * window)
+    a = img_ops._conv2(Ix * Ix, k)
+    b = img_ops._conv2(Ix * Iy, k)
+    c = img_ops._conv2(Iy * Iy, k)
+    tr = 0.5 * (a + c)
+    det = jnp.sqrt(jnp.maximum((0.5 * (a - c)) ** 2 + b * b, 0.0))
+    return tr - det  # lambda_min
+
+
+def _nms(resp, radius=1):
+    """3x3 (default) non-maximum suppression mask."""
+    m = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max,
+        (2 * radius + 1, 2 * radius + 1), (1, 1), "SAME",
+    )
+    return resp >= m
+
+
+def detect_keypoints(
+    img,
+    max_keypoints=150,
+    min_distance=20.0,
+    existing_xy=None,
+    existing_mask=None,
+    border=20,
+    quality_level=1e-3,
+    num_candidates=1024,
+):
+    """Detect up to `max_keypoints` corners with Poisson-disk spacing.
+
+    img (H, W) in [0, 1]. existing_xy (E, 2)/existing_mask: already-tracked
+    keypoints that suppress nearby detections (frame.cpp:72-87 passes the
+    current keypoint set). Returns (xy (K, 2) pixel coords, mask (K,)).
+    """
+    H, W = img.shape
+    dtype = img.dtype
+    resp = shi_tomasi_response(img)
+    keep = _nms(resp)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inb = (xx >= border) & (xx < W - border) & (yy >= border) & (yy < H - border)
+    resp_m = jnp.where(keep & inb, resp, -jnp.inf)
+
+    flat = resp_m.reshape(-1)
+    C = min(num_candidates, flat.shape[0])
+    scores, idx = jax.lax.top_k(flat, C)
+    cx = (idx % W).astype(dtype)
+    cy = (idx // W).astype(dtype)
+    cand = jnp.stack([cx, cy], axis=-1)  # (C, 2)
+    # GFTT quality gate relative to best response
+    alive = scores > jnp.maximum(scores[0] * quality_level, 0.0)
+    alive = alive & jnp.isfinite(scores)
+
+    d2 = min_distance * min_distance
+    if existing_xy is not None:
+        dist2 = jnp.sum((cand[:, None, :] - existing_xy[None, :, :]) ** 2, axis=-1)
+        if existing_mask is not None:
+            dist2 = jnp.where(existing_mask[None, :], dist2, jnp.inf)
+        alive = alive & jnp.all(dist2 >= d2, axis=1)
+
+    K = max_keypoints
+
+    def body(k, carry):
+        alive, sel_xy, sel_mask = carry
+        score_alive = jnp.where(alive, scores, -jnp.inf)
+        i = jnp.argmax(score_alive)
+        ok = score_alive[i] > -jnp.inf
+        pt = cand[i]
+        sel_xy = sel_xy.at[k].set(jnp.where(ok, pt, 0.0))
+        sel_mask = sel_mask.at[k].set(ok)
+        dist2 = jnp.sum((cand - pt) ** 2, axis=-1)
+        alive = alive & jnp.where(ok, dist2 >= d2, True)
+        return alive, sel_xy, sel_mask
+
+    sel_xy = jnp.zeros((K, 2), dtype)
+    sel_mask = jnp.zeros(K, bool)
+    _, sel_xy, sel_mask = jax.lax.fori_loop(0, K, body, (alive, sel_xy, sel_mask))
+    return sel_xy, sel_mask
+
+
+def poisson_disk_filter(xy, score, mask, min_distance, max_out):
+    """Standalone Poisson-disk culling of a point set, priority by score
+    (role of PoissonDiskFilter + the track-length-prioritized culling in
+    frame.cpp:109-130). Returns (indices (max_out,), keep_mask)."""
+    N = xy.shape[0]
+    d2 = min_distance * min_distance
+
+    def body(k, carry):
+        alive, sel_idx, sel_mask = carry
+        s = jnp.where(alive & mask, score, -jnp.inf)
+        i = jnp.argmax(s)
+        ok = s[i] > -jnp.inf
+        sel_idx = sel_idx.at[k].set(jnp.where(ok, i, 0))
+        sel_mask = sel_mask.at[k].set(ok)
+        dist2 = jnp.sum((xy - xy[i]) ** 2, axis=-1)
+        alive = alive & jnp.where(ok, dist2 >= d2, True)
+        return alive, sel_idx, sel_mask
+
+    alive = jnp.ones(N, bool)
+    sel_idx = jnp.zeros(max_out, jnp.int32)
+    sel_mask = jnp.zeros(max_out, bool)
+    _, sel_idx, sel_mask = jax.lax.fori_loop(0, max_out, body, (alive, sel_idx, sel_mask))
+    return sel_idx, sel_mask

@@ -1,0 +1,163 @@
+"""Vmapped fixed-budget RANSAC estimators.
+
+Re-design of the reference's generic adaptive-iteration RANSAC template
+(utility/ransac.h:26-110, seeded LotBox sampling) for TPU: a *fixed*
+hypothesis batch is sampled with jax.random (deterministic given the seed,
+reference default seed 648, config.cpp:91-93), all hypotheses are solved
+and scored in parallel with vmap, and the best model is an argmax — no
+data-dependent loop bounds. The adaptive early-exit is replaced by sizing
+the batch for the worst usable inlier ratio.
+
+Estimators: essential (5-pt, chi2 3.84), homography (4-pt, chi2 5.99)
+(stereo.cpp:36-80), fundamental (8-pt, pixel coords — the tracking outlier
+gate, opencv_image.cpp:121-129), and 3-point plane fit
+(plane_extractor.cpp:40-81).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pvio_tpu.geometry import essential as ess
+from pvio_tpu.geometry import homography as hom
+
+
+def _sample_indices(key, n_hyp, n_sample, mask):
+    """(n_hyp, n_sample) indices drawn (approximately without replacement
+    per hypothesis) from the valid entries of mask."""
+    N = mask.shape[0]
+    keys = jax.random.uniform(key, (n_hyp, N))
+    keys = jnp.where(mask[None, :], keys, -1.0)  # invalid sink to bottom
+    _, idx = jax.lax.top_k(keys, n_sample)
+    return idx
+
+
+def _count_inliers(errs, mask, threshold):
+    inl = (errs < threshold) & mask
+    return jnp.sum(inl, axis=-1), inl
+
+
+def find_essential(key, x1, x2, mask, threshold=1.0, n_hyp=64):
+    """5-pt RANSAC for E on normalized coords. Threshold semantics mirror
+    stereo.cpp:53: symmetric error < 2 * 3.84 * sigma^2.
+
+    Returns (E, inlier_mask, count).
+    """
+    thr = 2.0 * 3.84 * threshold * threshold
+    idx = _sample_indices(key, n_hyp, 5, mask)
+
+    def solve(i5):
+        return ess.solve_essential_5pt(x1[i5], x2[i5])  # (10, 3, 3), (10,)
+
+    Es, ok = jax.vmap(solve)(idx)          # (n_hyp, 10, 3, 3)
+    Es = Es.reshape(-1, 3, 3)
+    ok = ok.reshape(-1)
+
+    def score(E):
+        return ess.essential_symmetric_error(E, x1, x2)
+
+    errs = jax.vmap(score)(Es)             # (H*10, N)
+    counts, inls = _count_inliers(errs, mask[None, :], thr)
+    counts = jnp.where(ok, counts, -1)
+    best = jnp.argmax(counts)
+    return Es[best], inls[best], counts[best]
+
+
+def find_homography(key, x1, x2, mask, threshold=1.0, n_hyp=256):
+    """4-pt RANSAC for H on normalized coords (chi2 5.99, stereo.cpp:76)."""
+    thr = 2.0 * 5.99 * threshold * threshold
+    idx = _sample_indices(key, n_hyp, 4, mask)
+
+    def solve(i4):
+        return hom.solve_homography(x1[i4], x2[i4])
+
+    Hs = jax.vmap(solve)(idx)
+
+    def score(H):
+        return hom.homography_geometric_error(H, x1, x2) + hom.homography_geometric_error(
+            jnp.linalg.inv(H), x2, x1
+        )
+
+    errs = jax.vmap(score)(Hs)
+    counts, inls = _count_inliers(errs, mask[None, :], thr)
+    best = jnp.argmax(counts)
+    return Hs[best], inls[best], counts[best]
+
+
+def find_fundamental(key, x1, x2, mask, threshold=1.0, n_hyp=128):
+    """8-pt RANSAC for F (pixel coords) — the post-LK outlier gate
+    (opencv_image.cpp:121-129 uses cv::findFundamentalMat with a 1 px
+    threshold). Returns (F, inlier_mask, count)."""
+    thr = 2.0 * 3.84 * threshold * threshold
+    idx = _sample_indices(key, n_hyp, 8, mask)
+
+    def solve(i8):
+        # linear 8-pt with Hartley normalization via the epipolar system
+        a = x1[i8]
+        b = x2[i8]
+        ca, cb = jnp.mean(a, 0), jnp.mean(b, 0)
+        sa = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(jnp.linalg.norm(a - ca, axis=-1)), 1e-9)
+        sb = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(jnp.linalg.norm(b - cb, axis=-1)), 1e-9)
+        an = (a - ca) * sa
+        bn = (b - cb) * sb
+        rows = ess._epipolar_rows(an, bn)
+        _, vecs = jnp.linalg.eigh(rows.T @ rows)
+        Fm = vecs[:, 0].reshape(3, 3)
+        # enforce rank 2
+        U, s, Vt = jnp.linalg.svd(Fm)
+        Fm = U @ jnp.diag(s.at[2].set(0.0)) @ Vt
+        Ta = jnp.array([[sa, 0, -sa * ca[0]], [0, sa, -sa * ca[1]], [0, 0, 1.0]], Fm.dtype)
+        Tb = jnp.array([[sb, 0, -sb * cb[0]], [0, sb, -sb * cb[1]], [0, 0, 1.0]], Fm.dtype)
+        return Tb.T @ Fm @ Ta
+
+    Fs = jax.vmap(solve)(idx)
+
+    def score(Fm):
+        return ess.essential_symmetric_error(Fm, x1, x2)
+
+    errs = jax.vmap(score)(Fs)
+    counts, inls = _count_inliers(errs, mask[None, :], thr)
+    best = jnp.argmax(counts)
+    return Fs[best], inls[best], counts[best]
+
+
+def find_plane(key, points, mask, threshold=0.03, n_hyp=256):
+    """3-point RANSAC plane fit over landmark points
+    (plane_extractor.cpp:40-81: inlier threshold 0.03 m).
+
+    Returns (normal (3,), distance, inlier_mask, count) with n.x = d.
+    """
+    idx = _sample_indices(key, n_hyp, 3, mask)
+
+    def solve(i3):
+        p = points[i3]
+        n = jnp.cross(p[1] - p[0], p[2] - p[0])
+        norm = jnp.linalg.norm(n)
+        n = n / jnp.where(norm < 1e-12, 1e-12, norm)
+        d = jnp.dot(n, p[0])
+        return n, d, norm > 1e-12
+
+    ns, ds, ok = jax.vmap(solve)(idx)
+    errs = jnp.abs(jnp.einsum("hi,ni->hn", ns, points) - ds[:, None])
+    counts, inls = _count_inliers(errs, mask[None, :], threshold)
+    counts = jnp.where(ok, counts, -1)
+    best = jnp.argmax(counts)
+    return ns[best], ds[best], inls[best], counts[best]
+
+
+def refine_plane_pca(points, inlier_mask):
+    """PCA refinement of a plane from its inliers
+    (plane_extractor.cpp:63-76: normal = smallest-eigenvector of the
+    inlier scatter). Returns (normal, distance, centroid)."""
+    m = inlier_mask.astype(points.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(m), 1.0)
+    c = jnp.sum(points * m, axis=0) / cnt
+    d = (points - c) * m
+    cov = d.T @ d / cnt
+    _, V = jnp.linalg.eigh(cov)
+    n = V[:, 0]
+    # canonical orientation: distance >= 0
+    dist = jnp.dot(n, c)
+    sgn = jnp.where(dist < 0, -1.0, 1.0)
+    return n * sgn, dist * sgn, c
