@@ -1,0 +1,85 @@
+"""Benchmark: sliding-window visual-inertial BA keyframe steps per second
+on the attached accelerator.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The measured unit of work is the per-keyframe solver step — one full
+10-iteration LM bundle adjustment (linearize + landmark Schur elimination
++ reduced solve) over an 8-keyframe window with up to 256 tracks, the
+dominant compute of the VIO pipeline (reference: Ceres SPARSE_SCHUR x10
+dogleg iterations per keyframe, solver_options.h:26-33). The baseline is
+the reference's real-time budget of 30 keyframe solves/s (pvio-pc
+main.cpp:30 TARGET_FPS) — vs_baseline = value / 30.
+
+Secondary diagnostics go to stderr.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer timed reps")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from pvio_tpu.estimation import ba
+    from pvio_tpu.io import synthetic
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    scene = synthetic.make_scene(duration=3.0, fps=20.0, imu_rate=200.0,
+                                 n_points=400, seed=648)
+    kf = list(range(0, 8 * 4, 4))
+    w, extr, info = synthetic.solver_window_from_scene(
+        scene, kf, F_cap=9, T_cap=256, dtype=jnp.float32, kp_noise=0.002
+    )
+    print(f"window: {info['n_frames']} frames, {info['n_tracks']} tracks",
+          file=sys.stderr)
+
+    cfg = ba.BAConfig(iterations=10, kp_sqrt_inv_cov=283.0, use_planes=False)
+
+    @jax.jit
+    def keyframe_step(window):
+        w2, out = ba.solve(window, extr, cfg)
+        return w2, out["final_cost"]
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    w2, cost = keyframe_step(w)
+    jax.block_until_ready(cost)
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s, "
+          f"final cost {float(cost):.3e}", file=sys.stderr)
+
+    reps = 5 if args.quick else 30
+    # steady state: alternate two inputs to avoid any caching illusions
+    t0 = time.perf_counter()
+    for i in range(reps):
+        w2, cost = keyframe_step(w if i % 2 == 0 else w2)
+    jax.block_until_ready(cost)
+    dt = time.perf_counter() - t0
+    value = reps / dt
+    print(f"{reps} keyframe BA steps in {dt:.3f}s "
+          f"({1e3 * dt / reps:.1f} ms/step)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "keyframe_ba_steps_per_s",
+        "value": round(value, 3),
+        "unit": "solves/s (10-iter LM, 8 kf x 256 tracks, f32)",
+        "vs_baseline": round(value / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Core sensor frontend: async gyro/accel pairing, frame dispatch,
+IMU-rate pose prediction.
+
+Re-design of reference PVIO::Core (core/core.{h,cpp}):
+  * gyroscope samples are linearly interpolated onto accelerometer
+    timestamps to form fused ImuData (core.cpp:59-107);
+  * each camera frame collects the ImuData in (t_prev, t_frame] and is
+    dispatched once an IMU sample beyond its timestamp arrives
+    (core.cpp:129-141);
+  * `predict_pose` forward-propagates the latest optimized state through
+    the pending IMU samples at IMU rate — the low-latency output path
+    (core.cpp:143-164, propagate_state :32-39).
+"""
+
+from collections import deque
+
+import numpy as np
+
+from pvio_tpu.core.feature_tracker import FeatureTracker
+from pvio_tpu.core.frontend_worker import FrontendWorker
+from pvio_tpu.core.kernels import DeviceKernels
+from pvio_tpu.geometry import lie
+from pvio_tpu.imu.preintegration import GRAVITY_NOMINAL
+
+import jax.numpy as jnp
+
+GRAVITY = np.array([0.0, 0.0, -GRAVITY_NOMINAL])
+
+
+def _propagate(q, p, v, bg, ba, t0, ts, ws, accs):
+    """Constant-sample forward integration (core.cpp:32-39)."""
+    t = t0
+    for i in range(len(ts)):
+        dt = ts[i] - t
+        if dt <= 0:
+            continue
+        w = ws[i] - bg
+        a = accs[i] - ba
+        R = np.array(lie.quat_to_mat(jnp.asarray(q)))
+        a_w = R @ a + GRAVITY
+        p = p + dt * v + 0.5 * dt * dt * a_w
+        v = v + dt * a_w
+        q = np.array(lie.quat_mul(jnp.asarray(q), lie.expmap(jnp.asarray(w * dt))))
+        q /= np.linalg.norm(q)
+        t = ts[i]
+    return q, p, v, t
+
+
+class Core:
+    def __init__(self, config, plane_extractor_factory=None):
+        self.cfg = config
+        self.kernels = DeviceKernels(config)
+        self.feature_tracker = FeatureTracker(config, self.kernels)
+        self.frontend = FrontendWorker(config, self.kernels, self.feature_tracker,
+                                       plane_extractor_factory)
+        self.gyro = deque()    # (t, w)
+        self.accel = deque()   # (t, a)
+        self.imu = []          # fused ImuData since last dispatched frame
+        self.pending_frames = deque()  # (id, t, image)
+        self.frame_counter = 0
+        self.outputs = []      # (t, q_out, p_out) trajectory
+        self._last_frame_t = -np.inf
+        self._boundary = None  # last IMU sample consumed by a frame
+
+    # ------------------------------------------------------------------
+    # public sensor entry points (pvio.h:135-148 facade semantics)
+    # ------------------------------------------------------------------
+    def track_gyroscope(self, t, x, y, z):
+        self.gyro.append((t, np.array([x, y, z])))
+        self._pair_imu()
+        return self._predict_output(t)
+
+    def track_accelerometer(self, t, x, y, z):
+        self.accel.append((t, np.array([x, y, z])))
+        self._pair_imu()
+        return self._predict_output(t)
+
+    def track_camera(self, t, image):
+        fid = self.frame_counter
+        self.frame_counter += 1
+        self.pending_frames.append([fid, t, image])
+        self._dispatch_frames()
+        return self._predict_output(t)
+
+    # ------------------------------------------------------------------
+    def _pair_imu(self):
+        """Interpolate gyro onto accel timestamps (core.cpp:59-107)."""
+        while len(self.accel) and len(self.gyro) >= 2:
+            ta, a = self.accel[0]
+            # need gyro samples bracketing ta
+            if self.gyro[0][0] > ta:
+                self.accel.popleft()  # accel predates gyro stream
+                continue
+            if self.gyro[-1][0] < ta:
+                break  # wait for more gyro
+            while len(self.gyro) >= 2 and self.gyro[1][0] <= ta:
+                self.gyro.popleft()
+            t0, w0 = self.gyro[0]
+            t1, w1 = self.gyro[1] if len(self.gyro) > 1 else self.gyro[0]
+            lam = 0.0 if t1 == t0 else (ta - t0) / (t1 - t0)
+            w = w0 * (1 - lam) + w1 * lam
+            self.imu.append((ta, w, a))
+            self.accel.popleft()
+        self._dispatch_frames()
+
+    def _dispatch_frames(self):
+        while self.pending_frames:
+            fid, t, image = self.pending_frames[0]
+            if not self.imu or self.imu[-1][0] < t:
+                break  # IMU span not complete yet (core.cpp:129-141)
+            take = [s for s in self.imu if s[0] <= t]
+            self.imu = [s for s in self.imu if s[0] > t]
+            self.pending_frames.popleft()
+            # Seed the interval with the boundary sample held at the
+            # previous frame's timestamp so integration covers the full
+            # [t_prev, t] span (the reference drops the first sub-sample
+            # segment, core.cpp:129-141 + preintegrator.cpp:88-96; we fix
+            # the coverage rather than copy the quirk).
+            if take and self._boundary is not None:
+                bt, bw, ba_ = self._boundary
+                if take[0][0] > self._last_frame_t > -np.inf:
+                    take.insert(0, (self._last_frame_t, bw, ba_))
+            if take:
+                self._boundary = take[-1]
+            ts = np.array([s[0] for s in take])
+            ws = np.array([s[1] for s in take]).reshape(-1, 3)
+            accs = np.array([s[2] for s in take]).reshape(-1, 3)
+            rf = self.feature_tracker.track_frame(fid, t, image, ts, ws, accs)
+            state = self.frontend.issue_frame(rf)
+            if state is not None:
+                self._emit_output(state)
+            self._last_frame_t = t
+
+    def _emit_output(self, state):
+        t, q, p, v, bg, ba = state
+        q_bo = np.asarray(self.cfg.q_bo)
+        p_bo = np.asarray(self.cfg.p_bo)
+        q_out = np.array(lie.quat_mul(jnp.asarray(q), jnp.asarray(q_bo)))
+        p_out = p + np.array(lie.quat_rotate(jnp.asarray(q), jnp.asarray(p_bo)))
+        self.outputs.append((t, q_out, p_out))
+
+    def _predict_output(self, t_now):
+        """IMU-rate pose output by forward propagation from the latest
+        optimized state (core.cpp:143-164). Returns (t, q, p) or None."""
+        if self.frontend.swt is None:
+            return None
+        t0, q, p, v, bg, ba = self.frontend.swt.latest_state
+        pend = [(s[0], s[1], s[2]) for s in self.imu if s[0] > t0]
+        if pend:
+            ts = np.array([s[0] for s in pend])
+            ws = np.array([s[1] for s in pend])
+            accs = np.array([s[2] for s in pend])
+            q, p, v, _ = _propagate(q, p, v, bg, ba, t0, ts, ws, accs)
+        return (t_now, q, p)

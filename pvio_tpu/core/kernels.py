@@ -1,0 +1,259 @@
+"""Jitted device kernels for the VIO pipeline.
+
+One `DeviceKernels` instance per PVIO engine: builds every jitted callable
+once with the static shapes from Config (window capacity, track capacity,
+image size, IMU buffer size), so the host state machine never triggers
+recompilation. This replaces the reference's worker-thread boundaries
+(utility/worker.h) with host-dispatched fused device programs.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvio_tpu.estimation import ba as ba_mod
+from pvio_tpu.estimation import marginalization as marg_mod
+from pvio_tpu.estimation import pnp as pnp_mod
+from pvio_tpu.frontend import detect as detect_mod
+from pvio_tpu.frontend import image as image_mod
+from pvio_tpu.frontend import klt as klt_mod
+from pvio_tpu.frontend import ransac as ransac_mod
+from pvio_tpu.geometry import camera, lie, triangulation
+from pvio_tpu.imu import preintegration as pre
+from pvio_tpu.map import window as win
+
+
+class DeviceKernels:
+    def __init__(self, config):
+        self.cfg = config
+        dtype = jnp.float32 if config.dtype == "float32" else jnp.float64
+        self.dtype = dtype
+        self.extr = win.Extrinsics(
+            q_bc=jnp.asarray(config.q_bc, dtype),
+            p_bc=jnp.asarray(config.p_bc, dtype),
+            q_bi=jnp.asarray(config.q_bi, dtype),
+            p_bi=jnp.asarray(config.p_bi, dtype),
+        )
+        self.K = jnp.asarray(config.K, dtype)
+        self.noise = pre.ImuNoise(
+            cov_w=jnp.asarray(config.imu_cov_g, dtype),
+            cov_a=jnp.asarray(config.imu_cov_a, dtype),
+            cov_bg=jnp.asarray(config.imu_cov_bg, dtype),
+            cov_ba=jnp.asarray(config.imu_cov_ba, dtype),
+        )
+        self.ba_cfg = ba_mod.BAConfig(
+            iterations=config.solver_iteration_limit,
+            kp_sqrt_inv_cov=config.kp_sqrt_inv_cov,
+            plane_sqrt_inv_cov=float(1.0 / np.sqrt(config.plane_distance_cov)),
+            min_plane_tracks=config.plane_min_tracks,
+            use_inertial=True,
+            use_planes=config.enable_plane_constraint,
+        )
+        self.ba_cfg_vo = self.ba_cfg._replace(use_inertial=False, use_planes=False)
+        self.pnp_cfg = pnp_mod.PnPConfig(
+            iterations=config.solver_iteration_limit,
+            kp_sqrt_inv_cov=config.kp_sqrt_inv_cov,
+            use_inertial=True,
+        )
+        self.pnp_cfg_vo = self.pnp_cfg._replace(use_inertial=False)
+
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        cfg = self.cfg
+        dtype = self.dtype
+        extr = self.extr
+        K = self.K
+        levels = 3
+
+        def preprocess(img):
+            img = img.astype(dtype)
+            img = image_mod.clahe(img) if cfg.feature_tracker_clahe else image_mod.normalize(img)
+            return tuple(image_mod.build_pyramid(img, levels))
+
+        self.preprocess = jax.jit(preprocess)
+
+        def track(pyr_prev, pyr_next, kp, guess, mask):
+            return klt_mod.track_keypoints(
+                list(pyr_prev), list(pyr_next), kp, guess, mask,
+                border=20.0,
+            )
+
+        self.track = jax.jit(track)
+
+        def detect(img0, existing, existing_mask):
+            return detect_mod.detect_keypoints(
+                img0,
+                max_keypoints=cfg.feature_tracker_max_keypoint_detection,
+                min_distance=cfg.feature_tracker_min_keypoint_distance,
+                existing_xy=existing,
+                existing_mask=existing_mask,
+                border=20,
+            )
+
+        self.detect = jax.jit(detect)
+
+        def fransac(key, kp1, kp2, mask):
+            F, inl, count = ransac_mod.find_fundamental(key, kp1, kp2, mask, threshold=1.0)
+            return inl, count
+
+        self.fransac = jax.jit(fransac)
+
+        def predict_kp(kp, mask, dq_cam):
+            """Gyro-predicted initial flow (frame.cpp:97-103): rotate the
+            bearing by the inter-frame camera rotation."""
+            z = camera.remove_k(kp, K)
+            b = jnp.concatenate([z, jnp.ones_like(z[..., :1])], axis=-1)
+            b2 = lie.quat_rotate(lie.quat_conj(dq_cam)[None, :], b)
+            zs = jnp.where(jnp.abs(b2[..., 2:3]) < 1e-6, 1e-6, b2[..., 2:3])
+            out = camera.apply_k(b2[..., :2] / zs, K)
+            return jnp.where(mask[:, None], out, kp)
+
+        self.predict_kp = jax.jit(predict_kp)
+
+        def remove_k(kp):
+            return camera.remove_k(kp, K)
+
+        self.remove_k = jax.jit(remove_k)
+
+        def integrate_deltas(ts, ws, accs, mask, t_target, bg_prev, ba_prev):
+            """Batched per-frame preintegration (F, N) -> deltas at slot j
+            spanning frame j-1 -> j, linearized at frame j-1's bias."""
+            return jax.vmap(
+                lambda t_, w_, a_, m_, tt, bg, ba_: pre.preintegrate(
+                    t_, w_, a_, m_, tt, bg, ba_, self.noise
+                )
+            )(ts, ws, accs, mask, t_target, bg_prev, ba_prev)
+
+        self.integrate_deltas = jax.jit(integrate_deltas)
+
+        def attach_deltas(w, ts, ws, accs, mask, t_frames):
+            """Re-integrate every frame interval at the *previous* frame's
+            current bias (bundle_adjustor.cpp:220-226) and attach the
+            deltas to the window. Slot j's delta spans frame j-1 -> j."""
+            bg_prev = jnp.concatenate([w.bg[:1], w.bg[:-1]], axis=0)
+            ba_prev = jnp.concatenate([w.ba[:1], w.ba[:-1]], axis=0)
+            deltas = integrate_deltas(ts, ws, accs, mask, t_frames, bg_prev, ba_prev)
+            prev_mask = jnp.concatenate([jnp.zeros(1, bool), w.frame_mask[:-1]])
+            valid = jnp.any(mask, axis=-1) & w.frame_mask & prev_mask
+            return w._replace(
+                delta=deltas, delta_valid=valid, bg_lin=bg_prev, ba_lin=ba_prev
+            )
+
+        self.attach_deltas = jax.jit(attach_deltas)
+
+        def predict_state(delta_tree, q, p, v, bg, ba):
+            return pre.predict(delta_tree, q, p, v, bg, ba)
+
+        self.predict_state = jax.jit(predict_state)
+
+        def pnp(q0, p0, v0, bg0, ba0, lq, lp, lv, lbg, lba, delta, bg_lin,
+                ba_lin, x_world, z_obs, obs_mask, use_inertial):
+            c = self.pnp_cfg if use_inertial else self.pnp_cfg_vo
+            return pnp_mod.solve_pnp(
+                q0, p0, v0, bg0, ba0, lq, lp, lv, lbg, lba,
+                delta, bg_lin, ba_lin, x_world, z_obs, obs_mask, extr, c,
+            )
+
+        self.pnp_vi = jax.jit(partial(pnp, use_inertial=True))
+        self.pnp_vo = jax.jit(partial(pnp, use_inertial=False))
+
+        def solve_vi(w):
+            w2, info = ba_mod.solve(w, extr, self.ba_cfg)
+            w2 = ba_mod.post_solve_update(w2, extr, K)
+            return w2, info
+
+        self.ba_vi = jax.jit(solve_vi)
+
+        def solve_vo(w):
+            w2, info = ba_mod.solve(w, extr, self.ba_cfg_vo)
+            w2 = ba_mod.post_solve_update(w2, extr, K)
+            return w2, info
+
+        self.ba_vo = jax.jit(solve_vo)
+
+        def marginalize0(w):
+            w = marg_mod.rebase_tracks(w, extr, removed_slot=0)
+            return marg_mod.marginalize_and_remove(w, extr, self.ba_cfg, index=0)
+
+        self.marginalize0 = jax.jit(marginalize0)
+
+        def initial_prior(w):
+            return marg_mod.make_initial_prior(w)
+
+        self.initial_prior = jax.jit(initial_prior)
+
+        def triangulate_tracks(w):
+            """Multi-view DLT for every track column from current window
+            poses (Track::triangulate, track.cpp:61-106). Returns
+            (inv_depth (T,), ok (T,))."""
+            F, T = w.kp.shape[0], w.kp.shape[1]
+            q_ws = lie.quat_mul(w.q, jnp.broadcast_to(extr.q_bc, w.q.shape))
+            p_ws = w.p + lie.quat_rotate(w.q, jnp.broadcast_to(extr.p_bc, w.p.shape))
+            R_sw = lie.quat_to_mat(lie.quat_conj(q_ws))
+            t_sw = -jnp.einsum("fij,fj->fi", R_sw, p_ws)
+            Ps = jnp.concatenate([R_sw, t_sw[..., None]], axis=-1)  # (F, 3, 4)
+            obs = w.obs_mask & w.frame_mask[:, None]
+
+            def one(kps, m):
+                pt, ok, score = triangulation.triangulate_scored(Ps, kps, m)
+                return pt, ok & (jnp.sum(m) >= 2)
+
+            pts, ok = jax.vmap(one, in_axes=(1, 1))(w.kp, obs)  # (T, 3)
+            # inverse depth in the reference frame
+            q_ref = q_ws[w.ref_frame]
+            p_ref = p_ws[w.ref_frame]
+            y = lie.quat_rotate(lie.quat_conj(q_ref), pts - p_ref)
+            z = y[..., 2]
+            ok = ok & (z > 1e-3) & (z < triangulation.MAX_DEPTH)
+            inv_d = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+            return inv_d, ok
+
+        self.triangulate_tracks = jax.jit(triangulate_tracks)
+
+        def landmarks(w):
+            return win.landmark_points(w, extr)
+
+        self.landmarks = jax.jit(landmarks)
+
+        # keyframe parallax gating is done on host with numpy (tiny math,
+        # sliding_window_tracker.cpp:262-283)
+
+    # ------------------------------------------------------------------
+    def pad_imu(self, ts, ws, accs):
+        """Pad raw IMU sample arrays to the static buffer size."""
+        N = self.cfg.imu_buffer_capacity
+        n = min(len(ts), N)
+        tp = np.zeros(N)
+        wp = np.zeros((N, 3))
+        ap = np.zeros((N, 3))
+        mp = np.zeros(N, bool)
+        tp[:n] = ts[:n]
+        wp[:n] = ws[:n]
+        ap[:n] = accs[:n]
+        mp[:n] = True
+        return (
+            jnp.asarray(tp, self.dtype), jnp.asarray(wp, self.dtype),
+            jnp.asarray(ap, self.dtype), jnp.asarray(mp),
+        )
+
+    def integrate_one(self, ts, ws, accs, t_target, bg, ba):
+        """Preintegrate a single interval (unbatched convenience)."""
+        tp, wp, ap, mp = self.pad_imu(ts, ws, accs)
+        return self._integrate_one(tp, wp, ap, mp,
+                                   jnp.asarray(t_target, self.dtype),
+                                   jnp.asarray(bg, self.dtype),
+                                   jnp.asarray(ba, self.dtype))
+
+    @property
+    def _integrate_one(self):
+        if not hasattr(self, "_integrate_one_jit"):
+            self._integrate_one_jit = jax.jit(
+                lambda t_, w_, a_, m_, tt, bg, ba_: pre.preintegrate(
+                    t_, w_, a_, m_, tt, bg, ba_, self.noise
+                )
+            )
+        return self._integrate_one_jit

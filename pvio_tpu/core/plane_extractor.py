@@ -1,0 +1,298 @@
+"""Multi-plane detection, extension and merging — the paper's structural
+prior subsystem.
+
+Re-design of reference PlaneExtractor (core/plane_extractor.{h,cpp}) and
+Plane (map/plane.{h,cpp}) on the masked window arrays:
+
+  * detect: vmapped 3-point RANSAC over well-constrained landmarks
+    (VALID, enough baseline, life >= 10, quality < 2.0; inlier threshold
+    0.03 m, >= 30 inliers) with PCA normal refinement
+    (plane_extractor.cpp:40-81);
+  * update_map: promote detections to plane slots + flag member tracks
+    TF_PLANE (:83-104);
+  * extend_planes: ray-cast each VALID track's reference bearing onto
+    candidate planes; adopt when the reprojection error ratio < 1.2 or
+    the absolute error < 0.5 px and the cast point lies near the plane's
+    current extent (:112-161 — the SectorArea boundary test is realised
+    as a distance-to-member-points gate);
+  * merge: |n_i . n_j| > 0.95, |d_i - d_j| < 0.25, member overlap > 0.3
+    (:163-182);
+  * update_parameters: re-fit each plane from its member landmarks with
+    RANSAC + PCA (plane.cpp:64-114).
+
+The reference runs this in an async worker thread; here detection is a
+jitted kernel invoked synchronously per keyframe (the deterministic
+single-thread mode, PVIO_ENABLE_THREADING=OFF).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvio_tpu.frontend import ransac as ransac_mod
+from pvio_tpu.geometry import lie
+from pvio_tpu.map.window import TF_PLANE, TF_VALID
+
+
+class PlaneExtractor:
+    def __init__(self, config, kernels):
+        self.cfg = config
+        self.k = kernels
+        self._key = jax.random.PRNGKey(config.random_seed + 1)
+        self.next_plane_id = 0
+        self._find_plane = jax.jit(
+            lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask, threshold=0.03)
+        )
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def _landmarks(self, hw):
+        return np.array(self.k.landmarks(hw.to_device()))
+
+    def _camera_centers(self, hw):
+        q_bc = np.asarray(self.cfg.q_bc)
+        p_bc = np.asarray(self.cfg.p_bc)
+        qs = jnp.asarray(hw.q)
+        return hw.p + np.array(lie.quat_rotate(qs, jnp.asarray(np.tile(p_bc, (hw.F, 1)))))
+
+    def _baseline(self, hw, pts):
+        """Max camera-center separation over each track's observations
+        (Track::compute_baseline, track.cpp:120-135)."""
+        centers = self._camera_centers(hw)  # (F, 3)
+        obs = hw.obs_mask & hw.frame_mask[:, None]
+        first = np.argmax(obs, axis=0)
+        rev = np.argmax(obs[::-1], axis=0)
+        last = hw.F - 1 - rev
+        return np.linalg.norm(centers[last] - centers[first], axis=-1)
+
+    def _rpe(self, hw, col, point):
+        """Mean pixel reprojection error of `point` over the track's
+        observations (plane_extractor.cpp:184-198)."""
+        K = self.cfg.K
+        fx, fy = K[0, 0], K[1, 1]
+        q_bc = np.asarray(self.cfg.q_bc)
+        p_bc = np.asarray(self.cfg.p_bc)
+        errs = []
+        for f in np.nonzero(hw.obs_mask[:, col] & hw.frame_mask)[0]:
+            q_wc = np.array(lie.quat_mul(jnp.asarray(hw.q[f]), jnp.asarray(q_bc)))
+            p_wc = hw.p[f] + np.array(lie.quat_rotate(jnp.asarray(hw.q[f]), jnp.asarray(p_bc)))
+            y = np.array(lie.quat_rotate(jnp.asarray(q_wc * [1, -1, -1, -1]),
+                                         jnp.asarray(point - p_wc)))
+            if y[2] <= 1e-9:
+                return np.inf
+            z = hw.kp[f, col]
+            errs.append(np.hypot((y[0] / y[2] - z[0]) * fx, (y[1] / y[2] - z[1]) * fy))
+        return np.mean(errs) if errs else np.inf
+
+    # ------------------------------------------------------------------
+    def detect(self, hw):
+        """RANSAC plane detection over well-constrained landmarks; returns
+        a detection record or None (PlaneExtractor::work)."""
+        pts = self._landmarks(hw)
+        is_valid = (hw.track_flags & TF_VALID).astype(bool)
+        is_plane = (hw.track_flags & TF_PLANE).astype(bool)
+        baseline = self._baseline(hw, pts)
+        good = (
+            hw.track_mask & is_valid & ~is_plane
+            & (hw.track_life >= 4) & (hw.quality < 2.0)
+            & ((baseline > 0.5)
+               | ((hw.inv_depth < 5.0) & (baseline * np.abs(hw.inv_depth) > 0.5)))
+        )
+        if good.sum() < 30:
+            return None
+        n, d, inl, count = self._find_plane(
+            self._next_key(), jnp.asarray(pts, self.k.dtype), jnp.asarray(good)
+        )
+        if int(count) <= 30:
+            return None
+        inl = np.array(inl) & good
+        n2, d2, cog = ransac_mod.refine_plane_pca(jnp.asarray(pts, self.k.dtype),
+                                                  jnp.asarray(inl))
+        return {
+            "normal": np.array(n2), "distance": float(d2),
+            "reference_point": np.array(cog), "cols": np.nonzero(inl)[0],
+        }
+
+    def update_map(self, hw):
+        """Detect and promote to a plane slot + flag member tracks
+        (plane_extractor.cpp:83-104). Synchronous variant: one detection
+        per keyframe."""
+        rec = self.detect(hw)
+        if rec is None:
+            return
+        free = np.nonzero(~hw.plane_mask)[0]
+        if len(free) == 0:
+            return
+        slot = int(free[0])
+        hw.plane_mask[slot] = True
+        hw.plane_normal[slot] = rec["normal"]
+        hw.plane_distance[slot] = rec["distance"]
+        hw.plane_ids[slot] = self.next_plane_id
+        self.next_plane_id += 1
+        for c in rec["cols"]:
+            hw.track_flags[c] |= TF_PLANE
+            hw.plane_id[c] = slot
+
+    # ------------------------------------------------------------------
+    def extend_planes(self, hw, extend_rpe_ratio=1.2):
+        """Adopt VALID tracks onto planes by ray-casting
+        (plane_extractor.cpp:112-161)."""
+        if not hw.plane_mask.any():
+            return
+        pts = self._landmarks(hw)
+        q_bc = np.asarray(self.cfg.q_bc)
+        p_bc = np.asarray(self.cfg.p_bc)
+        member_pts = {
+            s: pts[(hw.plane_id == s) & hw.track_mask]
+            for s in np.nonzero(hw.plane_mask)[0]
+        }
+        for c in np.nonzero(hw.track_mask)[0]:
+            if not (hw.track_flags[c] & TF_VALID):
+                continue
+            if hw.track_flags[c] & TF_PLANE:
+                continue
+            ref = hw.ref_frame[c]
+            q_wc = np.array(lie.quat_mul(jnp.asarray(hw.q[ref]), jnp.asarray(q_bc)))
+            o = hw.p[ref] + np.array(lie.quat_rotate(jnp.asarray(hw.q[ref]), jnp.asarray(p_bc)))
+            bearing = np.array(lie.quat_rotate(
+                jnp.asarray(q_wc), jnp.asarray(np.concatenate([hw.kp[ref, c], [1.0]]))
+            ))
+            rpe_before = self._rpe(hw, c, pts[c])
+            best_rpe = np.inf
+            best_point = None
+            best_slot = -1
+            adopted = False
+            for s in np.nonzero(hw.plane_mask)[0]:
+                nrm = hw.plane_normal[s]
+                denom = np.dot(nrm, bearing)
+                # is_parallel gate: ray within ~20 deg of the plane
+                if abs(denom) / np.linalg.norm(bearing) < np.sin(np.deg2rad(20)):
+                    continue
+                s_len = (hw.plane_distance[s] - np.dot(nrm, o)) / denom
+                plane_point = o + s_len * bearing
+                y = np.array(lie.quat_rotate(
+                    jnp.asarray(q_wc * [1, -1, -1, -1]), jnp.asarray(plane_point - o)))
+                if y[2] < 0:
+                    continue
+                rpe_after = self._rpe(hw, c, plane_point)
+                if rpe_after < best_rpe:
+                    best_rpe = rpe_after
+                    best_point = plane_point
+                    best_slot = s
+                if rpe_after / max(rpe_before, 1e-12) < extend_rpe_ratio or rpe_after < 0.5:
+                    # near-boundary test (SectorArea role): within 1.2x the
+                    # median member spread of the closest member point
+                    mp = member_pts.get(s)
+                    if mp is None or len(mp) == 0:
+                        continue
+                    dmin = np.linalg.norm(mp - plane_point, axis=-1).min()
+                    spread = np.median(
+                        np.linalg.norm(mp - mp.mean(axis=0), axis=-1)
+                    ) + 1e-6
+                    if dmin < 1.2 * spread + 0.1:
+                        adopted = True
+            if adopted and best_slot >= 0:
+                hw.track_flags[c] |= TF_PLANE
+                hw.plane_id[c] = best_slot
+                # move the landmark onto the best plane point
+                self._set_landmark(hw, c, best_point)
+
+    def _set_landmark(self, hw, col, point):
+        """Re-express a world point as inverse depth in the reference
+        frame (Track::set_landmark_point, track.cpp:137-147)."""
+        ref = hw.ref_frame[col]
+        q_bc = np.asarray(self.cfg.q_bc)
+        p_bc = np.asarray(self.cfg.p_bc)
+        q_wc = np.array(lie.quat_mul(jnp.asarray(hw.q[ref]), jnp.asarray(q_bc)))
+        o = hw.p[ref] + np.array(lie.quat_rotate(jnp.asarray(hw.q[ref]), jnp.asarray(p_bc)))
+        y = np.array(lie.quat_rotate(jnp.asarray(q_wc * [1, -1, -1, -1]),
+                                     jnp.asarray(point - o)))
+        if y[2] > 1e-6:
+            hw.inv_depth[col] = 1.0 / y[2]
+
+    # ------------------------------------------------------------------
+    def merge_planes(self, hw):
+        """Merge near-coplanar overlapping planes
+        (plane_extractor.cpp:163-182)."""
+        slots = list(np.nonzero(hw.plane_mask)[0])
+        changed = True
+        while changed:
+            changed = False
+            slots = list(np.nonzero(hw.plane_mask)[0])
+            for ii in range(len(slots)):
+                for jj in range(ii + 1, len(slots)):
+                    i, j = slots[ii], slots[jj]
+                    if abs(np.dot(hw.plane_normal[i], hw.plane_normal[j])) < 0.95:
+                        continue
+                    if abs(hw.plane_distance[i] - hw.plane_distance[j]) > 0.25:
+                        continue
+                    mi = (hw.plane_id == i) & hw.track_mask
+                    mj = (hw.plane_id == j) & hw.track_mask
+                    pts = self._landmarks(hw)
+                    if mi.sum() == 0 or mj.sum() == 0:
+                        overlap = 1.0
+                    else:
+                        # overlap: fraction of j's members within i's extent
+                        pi = pts[mi]
+                        spread = np.median(np.linalg.norm(pi - pi.mean(0), axis=-1)) + 1e-6
+                        dj = np.linalg.norm(
+                            pts[mj][:, None, :] - pi[None, :, :], axis=-1
+                        ).min(axis=1)
+                        overlap = float((dj < 2.0 * spread).mean())
+                    if overlap > 0.3:
+                        hw.plane_id[mj] = i
+                        hw.plane_mask[j] = False
+                        changed = True
+                        break
+                if changed:
+                    break
+
+    def update_parameters(self, hw):
+        """Re-fit each plane from its member landmarks
+        (Plane::update_parameter, plane.cpp:64-114)."""
+        pts = self._landmarks(hw)
+        for s in np.nonzero(hw.plane_mask)[0]:
+            m = (hw.plane_id == s) & hw.track_mask
+            if m.sum() < 3:
+                continue
+            if m.sum() >= 50:
+                n, d, inl, count = self._find_plane(
+                    self._next_key(), jnp.asarray(pts, self.k.dtype), jnp.asarray(m)
+                )
+                fit_mask = np.array(inl) & m
+                if fit_mask.sum() < 3:
+                    fit_mask = m
+            else:
+                fit_mask = m
+            n2, d2, cog = ransac_mod.refine_plane_pca(
+                jnp.asarray(pts, self.k.dtype), jnp.asarray(fit_mask)
+            )
+            hw.plane_normal[s] = np.array(n2)
+            hw.plane_distance[s] = float(d2)
+
+    # ------------------------------------------------------------------
+    def plane_track_points(self, w_dev, x_world):
+        """For PnP: replace plane-track landmarks with their best-plane
+        ray-cast points (pnp.cpp:61-88). Device-side, vectorized."""
+        from pvio_tpu.estimation.factors import plane_cast_point
+
+        P = w_dev.plane_mask.shape[0]
+        pid = jnp.clip(w_dev.plane_id, 0, P - 1)
+        is_plane = ((w_dev.track_flags & TF_PLANE) != 0) & (w_dev.plane_id >= 0)
+        extr = self.k.extr
+        q_ref = w_dev.q[w_dev.ref_frame]
+        p_ref = w_dev.p[w_dev.ref_frame]
+        q_wc = lie.quat_mul(q_ref, jnp.broadcast_to(extr.q_bc, q_ref.shape))
+        o = p_ref + lie.quat_rotate(q_ref, jnp.broadcast_to(extr.p_bc, p_ref.shape))
+        T = w_dev.kp.shape[1]
+        z_ref = jnp.take_along_axis(w_dev.kp, w_dev.ref_frame[None, :, None], axis=0)[0]
+        bearing = lie.quat_rotate(
+            q_wc, jnp.concatenate([z_ref, jnp.ones((T, 1), z_ref.dtype)], axis=-1)
+        )
+        cast = plane_cast_point(
+            w_dev.plane_normal[pid], w_dev.plane_distance[pid], o, bearing
+        )
+        return jnp.where(is_plane[:, None], cast, x_world)

@@ -1,0 +1,285 @@
+"""Sliding-window tracker: the per-frame VIO state machine.
+
+Re-design of reference SlidingWindowTracker
+(core/sliding_window_tracker.{h,cpp}): for each issued frame —
+preintegrate + predict, motion-only PnP refine, rotation-compensated
+keyframe check, triangulate fresh tracks; keyframe path marginalizes the
+oldest frame(s), appends, ensures the gauge-anchoring prior exists and
+runs full BA; non-keyframe path merges the IMU span into the new frame
+and replaces the window tail; then track pruning (quality > 3.0) and
+plane maintenance. Device work happens in the jitted kernels; the host
+only shuffles bookkeeping arrays.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pvio_tpu.core.host_window import HostWindow
+from pvio_tpu.geometry import lie
+from pvio_tpu.map.window import TF_PLANE, TF_VALID
+
+
+class SlidingWindowTracker:
+    def __init__(self, config, kernels, host_window: HostWindow, feature_tracker,
+                 plane_extractor=None):
+        self.cfg = config
+        self.k = kernels
+        self.hw = host_window
+        self.ft = feature_tracker
+        self.planes = plane_extractor
+        self.skipped_frames = 0
+        # (t, q, p, v, bg, ba) of the newest optimized frame, for predict_pose
+        tail = self.hw.n_frames - 1
+        self.latest_state = self._state_of(tail)
+
+    def _state_of(self, slot):
+        return (
+            float(self.hw.frame_t[slot]), self.hw.q[slot].copy(),
+            self.hw.p[slot].copy(), self.hw.v[slot].copy(),
+            self.hw.bg[slot].copy(), self.hw.ba[slot].copy(),
+        )
+
+    # ------------------------------------------------------------------
+    def track(self, raw_new):
+        """Process one issued frame (sliding_window_tracker.cpp:75-135).
+        Returns False on unrecoverable failure (triggers re-init,
+        frontend_worker.cpp:71-77)."""
+        cfg = self.cfg
+        hw = self.hw
+        tail = hw.n_frames - 1
+        raw_tail = self.ft.frame_by_id(int(hw.frame_id[tail]))
+        if raw_tail is None:
+            return False  # "SWT cannot catch up" (feature_tracker.cpp:70-75)
+
+        # --- mirror: link tracks between window tail and the new frame ---
+        new_obs = self._mirror_frame(raw_tail, raw_new, tail)
+        if len(new_obs) < 8:
+            return False
+
+        # --- preintegrate tail -> new at tail's bias; predict ---
+        delta = self.k.integrate_one(
+            raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a, raw_new.t,
+            hw.bg[tail], hw.ba[tail],
+        )
+        dtp = self.k.dtype
+        q0, p0, v0, bg0, ba0 = self.k.predict_state(
+            delta, jnp.asarray(hw.q[tail], dtp), jnp.asarray(hw.p[tail], dtp),
+            jnp.asarray(hw.v[tail], dtp), jnp.asarray(hw.bg[tail], dtp),
+            jnp.asarray(hw.ba[tail], dtp),
+        )
+
+        # --- motion-only PnP (pnp.cpp:32-100) ---
+        w_dev = hw.to_device()
+        x_world = self.k.landmarks(w_dev)
+        if self.planes is not None:
+            x_world = self.planes.plane_track_points(w_dev, x_world)
+        valid = ((hw.track_flags & (TF_VALID | TF_PLANE)) != 0) & hw.track_mask
+        z_obs = np.zeros((hw.T, 2), hw.dtype)
+        obs_mask = np.zeros(hw.T, bool)
+        for col, z in new_obs:
+            z_obs[col] = z
+            obs_mask[col] = True
+        pnp_mask = obs_mask & valid & hw.obs_mask[tail]
+        q1, p1, v1, bg1, ba1 = self.k.pnp_vi(
+            q0, p0, v0, bg0, ba0,
+            jnp.asarray(hw.q[tail], dtp), jnp.asarray(hw.p[tail], dtp),
+            jnp.asarray(hw.v[tail], dtp), jnp.asarray(hw.bg[tail], dtp),
+            jnp.asarray(hw.ba[tail], dtp),
+            delta, jnp.asarray(hw.bg[tail], dtp), jnp.asarray(hw.ba[tail], dtp),
+            x_world, jnp.asarray(z_obs, dtp), jnp.asarray(pnp_mask),
+        )
+        q1 = np.array(q1)
+        p1 = np.array(p1)
+        v1 = np.array(v1)
+        if not (np.isfinite(q1).all() and np.isfinite(p1).all()):
+            return False
+
+        # --- keyframe check (:255-296) ---
+        is_keyframe = self._keyframe_check(raw_new, new_obs, np.array(delta.q))
+
+        tail_was_keyframe = bool(hw.keyframe[tail])
+        if tail_was_keyframe:
+            # marginalize oldest while full, then append (:90-113)
+            while hw.n_frames >= cfg.window_frame_capacity:
+                self._marginalize_oldest()
+            slot = hw.append_frame(
+                raw_new.id, raw_new.t, q1, p1, v1,
+                np.array(bg1), np.array(ba1),
+                raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a,
+                keyframe=is_keyframe,
+            )
+            self._write_observations(slot, new_obs)
+            self._triangulate_new()
+            if self.planes is not None:
+                self.planes.update_map(self.hw)
+                self.planes.extend_planes(self.hw)
+            w = hw.to_device()
+            if not bool(jax.device_get(w.prior.valid)):
+                w = w._replace(prior=self.k.initial_prior(w))
+            w = self._attach_deltas(w)
+            w, info = self.k.ba_vi(w)
+            hw.from_device(w)
+        else:
+            # replace tail: merge the IMU span (:115-121)
+            merged_ts = np.concatenate([hw.imu_ts[tail], raw_new.imu_ts])
+            merged_w = np.concatenate([hw.imu_w[tail], raw_new.imu_w])
+            merged_a = np.concatenate([hw.imu_a[tail], raw_new.imu_a])
+            hw.drop_tail()
+            slot = hw.append_frame(
+                raw_new.id, raw_new.t, q1, p1, v1, np.array(bg1), np.array(ba1),
+                merged_ts, merged_w, merged_a, keyframe=is_keyframe,
+            )
+            # re-link against the frame before the old tail
+            prev_slot = slot - 1
+            raw_prev = self.ft.frame_by_id(int(hw.frame_id[prev_slot]))
+            if raw_prev is not None:
+                obs2 = self._mirror_frame(raw_prev, raw_new, prev_slot)
+            else:
+                obs2 = new_obs
+            self._write_observations(slot, obs2)
+            self._triangulate_new()
+
+        # --- prune tracks with quality > 3.0 (:123-125, map.cpp:125-135) ---
+        for c in np.nonzero(hw.track_mask)[0]:
+            flags = hw.track_flags[c]
+            bad_valid = (not (flags & TF_VALID)) or hw.quality[c] > 3.0
+            bad_plane = (not (flags & TF_PLANE)) or hw.quality[c] > 3.0
+            if bad_valid and bad_plane:
+                hw.release_column(int(c))
+
+        if tail_was_keyframe and self.planes is not None:
+            self.planes.merge_planes(self.hw)
+            self.planes.update_parameters(self.hw)
+
+        self.latest_state = self._state_of(hw.n_frames - 1)
+        return True
+
+    # ------------------------------------------------------------------
+    def _mirror_frame(self, raw_prev, raw_new, prev_slot):
+        """Link tracks shared by (raw_prev, raw_new); returns
+        [(column, z_normalized)] for the new frame
+        (mirror_frame, sliding_window_tracker.cpp:52-72)."""
+        hw = self.hw
+        K = self.cfg.K
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        ids_new = {int(t): k for k, t in enumerate(raw_new.track_ids)
+                   if raw_new.kp_mask[k] and t >= 0}
+        out = []
+        seen = set()
+        for ki, tid in enumerate(raw_prev.track_ids):
+            if not raw_prev.kp_mask[ki] or tid < 0:
+                continue
+            kj = ids_new.get(int(tid))
+            if kj is None:
+                continue
+            col = hw.column_of(tid)
+            if col is None:
+                col = hw.alloc_column(tid, prev_slot)
+                if col is None:
+                    continue
+                zi = np.array([(raw_prev.kp[ki, 0] - cx) / fx,
+                               (raw_prev.kp[ki, 1] - cy) / fy])
+                hw.add_observation(col, prev_slot, zi)
+            zj = np.array([(raw_new.kp[kj, 0] - cx) / fx,
+                           (raw_new.kp[kj, 1] - cy) / fy])
+            if col not in seen:
+                out.append((col, zj))
+                seen.add(col)
+        return out
+
+    def _write_observations(self, slot, obs):
+        for col, z in obs:
+            if not self.hw.obs_mask[slot, col]:
+                self.hw.add_observation(col, slot, z)
+
+    def _keyframe_check(self, raw_new, new_obs, dq_body):
+        """Rotation-compensated 80th-percentile parallax gate
+        (sliding_window_tracker.cpp:255-296)."""
+        cfg = self.cfg
+        hw = self.hw
+        kf_slots = np.nonzero(hw.keyframe & hw.frame_mask)[0]
+        if len(kf_slots) == 0:
+            self.skipped_frames = 0
+            return True
+        kf = int(kf_slots[-1])
+        K = cfg.K
+        fx, fy = K[0, 0], K[1, 1]
+        q_bc = np.asarray(cfg.q_bc)
+        # camera rotation i->j: qij = (q_bc^-1 * q_bi * dq * q_bi^-1 * q_bc)^-1
+        q_bi = np.asarray(cfg.q_bi)
+        qm = lie.quat_mul
+        qc = lie.quat_conj
+        qij = np.array(qc(qm(qm(qm(qc(jnp.asarray(q_bc)), jnp.asarray(q_bi)),
+                               jnp.asarray(dq_body)),
+                            qm(qc(jnp.asarray(q_bi)), jnp.asarray(q_bc)))))
+        parallax_list = []
+        for col, zj in new_obs:
+            if not hw.obs_mask[kf, col]:
+                continue
+            zi = hw.kp[kf, col]
+            b = np.concatenate([zi, [1.0]])
+            b2 = np.array(lie.quat_rotate(jnp.asarray(qij), jnp.asarray(b)))
+            if abs(b2[2]) < 1e-6:
+                continue
+            pi = b2[:2] / b2[2]
+            dpx = np.array([(pi[0] - zj[0]) * fx, (pi[1] - zj[1]) * fy])
+            parallax_list.append(np.linalg.norm(dpx))
+        keyframe = False
+        if len(parallax_list) < cfg.keyframe_min_common_tracks:
+            keyframe = True
+        else:
+            parallax_list.sort()
+            p80 = parallax_list[len(parallax_list) * 4 // 5]
+            if p80 > cfg.keyframe_parallax_px:
+                keyframe = True
+            else:
+                self.skipped_frames += 1
+        if self.skipped_frames > cfg.keyframe_max_skipped:
+            keyframe = True
+        if keyframe:
+            self.skipped_frames = 0
+        return keyframe
+
+    def _triangulate_new(self):
+        """Triangulate not-yet-valid tracks (track() triangulation sweep,
+        sliding_window_tracker.cpp:81-88)."""
+        hw = self.hw
+        w = hw.to_device()
+        inv_d, ok = self.k.triangulate_tracks(w)
+        inv_d = np.array(inv_d)
+        ok = np.array(ok)
+        fresh = hw.track_mask & ok & ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0)
+        for c in np.nonzero(fresh)[0]:
+            hw.inv_depth[c] = inv_d[c]
+            hw.track_flags[c] |= TF_VALID
+
+    def _attach_deltas(self, w):
+        F = self.hw.F
+        N = self.cfg.imu_buffer_capacity
+        ts = np.zeros((F, N))
+        ws = np.zeros((F, N, 3))
+        accs = np.zeros((F, N, 3))
+        mask = np.zeros((F, N), bool)
+        for j in range(F):
+            if self.hw.imu_ts[j] is None or len(self.hw.imu_ts[j]) == 0:
+                continue
+            n = min(len(self.hw.imu_ts[j]), N)
+            ts[j, :n] = self.hw.imu_ts[j][-n:]
+            ws[j, :n] = self.hw.imu_w[j][-n:]
+            accs[j, :n] = self.hw.imu_a[j][-n:]
+            mask[j, :n] = True
+        dt = self.k.dtype
+        return self.k.attach_deltas(
+            w, jnp.asarray(ts, dt), jnp.asarray(ws, dt), jnp.asarray(accs, dt),
+            jnp.asarray(mask), jnp.asarray(self.hw.frame_t, dt),
+        )
+
+    def _marginalize_oldest(self):
+        w = self.hw.to_device()
+        w = self._attach_deltas(w)
+        w = self.k.marginalize0(w)
+        self.hw.from_device(w)
+        self.hw.shift_after_marginalize(0)
+        self.hw.frame_mask = np.array(w.frame_mask)
+        self.hw._refresh_track_columns()

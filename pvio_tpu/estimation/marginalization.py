@@ -130,19 +130,39 @@ def accumulate_information(w: WindowState, extr: Extrinsics, cfg: BAConfig, inde
     return H.reshape(F * 15, F * 15), b.reshape(F * 15)
 
 
-def make_initial_prior(w: WindowState, sqrt_info_value=3.0e3, index: int = 0) -> MargPrior:
+def make_initial_prior(w: WindowState, sqrt_info_value=3.0e3, index: int = 0,
+                       yaw_only: bool = True) -> MargPrior:
     """Gauge-anchoring prior on frame `index`'s pose, created when the
     sliding-window tracker takes over from the initializer
     (sliding_window_tracker.cpp:90-113: 1e15 information on the first
-    pose). The reference's 1e15 is float64-only; sqrt_info 3e3 (information
-    ~1e7) holds the 4-dof gauge to sub-0.1 mm while keeping the reduced
-    camera system well-conditioned in float32."""
+    pose). Two deliberate departures from the reference:
+
+      * magnitude: 1e15 information is float64-only; sqrt_info 3e3
+        (information ~1e7) holds the gauge to sub-0.1 mm while keeping
+        the reduced camera system well-conditioned in float32;
+      * rank (yaw_only=True): a VIO window's true gauge freedoms are
+        position + yaw only — gravity makes roll/pitch observable. The
+        reference anchors all 6 pose dofs, freezing any initializer
+        roll/pitch error into the world frame forever; we anchor position
+        and the yaw tangent direction (a = R_wb^T e_z in the body-frame
+        tangent) so subsequent BAs can rotate the window onto the true
+        gravity direction.
+    """
     F = w.q.shape[0]
     dtype = w.p.dtype
-    diag = jnp.zeros(F * 15, dtype)
-    diag = diag.at[index * 15 : index * 15 + 6].set(jnp.asarray(sqrt_info_value, dtype))
+    s = jnp.asarray(sqrt_info_value, dtype)
+    M = jnp.zeros((F * 15, F * 15), dtype)
+    sl = index * 15
+    if yaw_only:
+        a = lie.quat_rotate(lie.quat_conj(w.q[index]),
+                            jnp.array([0.0, 0.0, 1.0], dtype))
+        a = a / jnp.maximum(jnp.linalg.norm(a), 1e-12)
+        M = M.at[sl : sl + 3, sl : sl + 3].set(s * jnp.outer(a, a))
+    else:
+        M = M.at[sl : sl + 3, sl : sl + 3].set(s * jnp.eye(3, dtype=dtype))
+    M = M.at[sl + 3 : sl + 6, sl + 3 : sl + 6].set(s * jnp.eye(3, dtype=dtype))
     return MargPrior(
-        sqrt_info=jnp.diag(diag),
+        sqrt_info=M,
         infovec=jnp.zeros(F * 15, dtype),
         q0=w.q, p0=w.p, v0=w.v, bg0=w.bg, ba0=w.ba,
         valid=jnp.asarray(True),

@@ -67,9 +67,23 @@ def detect_keypoints(
     flat = resp_m.reshape(-1)
     C = min(num_candidates, flat.shape[0])
     scores, idx = jax.lax.top_k(flat, C)
-    cx = (idx % W).astype(dtype)
-    cy = (idx // W).astype(dtype)
-    cand = jnp.stack([cx, cy], axis=-1)  # (C, 2)
+    ix = idx % W
+    iy = idx // W
+    # sub-pixel localization: 1-D quadratic fit through the response peak
+    ixc = jnp.clip(ix, 1, W - 2)
+    iyc = jnp.clip(iy, 1, H - 2)
+    r0 = resp[iyc, ixc]
+    rl = resp[iyc, ixc - 1]
+    rr = resp[iyc, ixc + 1]
+    ru = resp[iyc - 1, ixc]
+    rd = resp[iyc + 1, ixc]
+    denx = rl - 2 * r0 + rr
+    deny = ru - 2 * r0 + rd
+    dx = jnp.where(jnp.abs(denx) > 1e-12, 0.5 * (rl - rr) / denx, 0.0)
+    dy = jnp.where(jnp.abs(deny) > 1e-12, 0.5 * (ru - rd) / deny, 0.0)
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+    cand = jnp.stack([ix.astype(dtype) + dx, iy.astype(dtype) + dy], axis=-1)  # (C, 2)
     # GFTT quality gate relative to best response
     alive = scores > jnp.maximum(scores[0] * quality_level, 0.0)
     alive = alive & jnp.isfinite(scores)

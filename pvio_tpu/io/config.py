@@ -1,0 +1,188 @@
+"""Configuration: dataclass with reference-compatible defaults + YAML I/O.
+
+Plays the role of the abstract Config + YamlConfig pair
+(pvio/include/pvio/pvio.h:70-112, pvio/src/pvio/config.cpp:24-93,
+pvio-extra yaml_config.cpp:24-343). The YAML schema is file-compatible
+with the reference's config/euroc.yaml (same dotted paths; quaternions in
+the files are (x, y, z, w) per Eigen convention and converted to this
+framework's (w, x, y, z)).
+"""
+
+from dataclasses import dataclass, field, fields
+from typing import Optional
+
+import numpy as np
+
+
+def _q_xyzw_to_wxyz(q):
+    x, y, z, w = q
+    return np.array([w, x, y, z], float)
+
+
+@dataclass
+class Config:
+    # --- camera (config/euroc.yaml camera.*) ---
+    camera_intrinsic: np.ndarray = field(
+        default_factory=lambda: np.array([458.654, 457.296, 367.215, 248.375])
+    )  # fx fy cx cy
+    camera_noise_cov: np.ndarray = field(
+        default_factory=lambda: np.array([[0.5, 0.0], [0.0, 0.5]])
+    )  # px^2
+    q_bc: np.ndarray = field(default_factory=lambda: np.array([1.0, 0, 0, 0]))  # wxyz
+    p_bc: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    camera_distortion: Optional[np.ndarray] = None   # radtan [k1 k2 p1 p2] or fisheye [k1..k4]
+    camera_distortion_model: str = "none"            # none | radtan | equidistant
+    image_size: tuple = (752, 480)                   # (W, H)
+
+    # --- imu (imu.*) ---
+    imu_cov_g: np.ndarray = field(default_factory=lambda: np.eye(3) * 2.87913024e-08)
+    imu_cov_a: np.ndarray = field(default_factory=lambda: np.eye(3) * 4.0e-6)
+    imu_cov_bg: np.ndarray = field(default_factory=lambda: np.eye(3) * 3.76088449e-10)
+    imu_cov_ba: np.ndarray = field(default_factory=lambda: np.eye(3) * 9.0e-6)
+    q_bi: np.ndarray = field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    p_bi: np.ndarray = field(default_factory=lambda: np.zeros(3))
+
+    # --- output transform (output.*) ---
+    q_bo: np.ndarray = field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+    p_bo: np.ndarray = field(default_factory=lambda: np.zeros(3))
+
+    # --- window / tracker (reference defaults, config.cpp:24-93) ---
+    sliding_window_size: int = 8
+    feature_tracker_min_keypoint_distance: float = 20.0
+    feature_tracker_max_keypoint_detection: int = 150
+    feature_tracker_max_init_frames: int = 60
+    feature_tracker_max_frames: int = 20
+    feature_tracker_predict_keypoints: bool = True
+    feature_tracker_clahe: bool = True
+
+    # --- initializer (initializer.*) ---
+    initializer_keyframe_num: int = 8
+    initializer_keyframe_gap: int = 5
+    initializer_min_matches: int = 50
+    initializer_min_parallax: float = 10.0
+    initializer_min_triangulation: int = 20
+    initializer_min_landmarks: int = 30
+    initializer_refine_imu: bool = True
+
+    # --- solver ---
+    solver_iteration_limit: int = 10
+    solver_time_limit: float = 1.0e6
+    random_seed: int = 648            # config.cpp:91-93
+
+    # --- planes (pvio-pc config plane.*; plane_distance_cov config.cpp:24) ---
+    enable_plane_constraint: bool = True
+    plane_distance_cov: float = 0.01 * 0.01
+    plane_min_tracks: int = 20
+
+    # --- capacities of the fixed-shape solver arrays (TPU build only) ---
+    window_frame_capacity: int = 0    # 0 => sliding_window_size + 1
+    track_capacity: int = 256
+    plane_capacity: int = 8
+    imu_buffer_capacity: int = 64     # max IMU samples between frames
+    dtype: str = "float32"
+
+    # --- keyframe gating (sliding_window_tracker.cpp:255-296) ---
+    keyframe_min_common_tracks: int = 50
+    keyframe_parallax_px: float = 50.0
+    keyframe_max_skipped: int = 10
+
+    def __post_init__(self):
+        if self.window_frame_capacity == 0:
+            self.window_frame_capacity = self.sliding_window_size + 1
+
+    @property
+    def K(self):
+        fx, fy, cx, cy = self.camera_intrinsic
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+    @property
+    def kp_sqrt_inv_cov(self):
+        """Whitener for K-normalized reprojection residuals: the reference
+        stores frame->sqrt_inv_cov = chol(K-normalized keypoint cov)^-T;
+        for isotropic noise this is focal / sigma_px."""
+        fx, fy = self.camera_intrinsic[0], self.camera_intrinsic[1]
+        sigma = float(np.sqrt(np.mean(np.diag(self.camera_noise_cov))))
+        return float(0.5 * (fx + fy) / sigma)
+
+    @classmethod
+    def from_yaml(cls, path):
+        import yaml
+
+        with open(path) as f:
+            text = f.read()
+        # the reference files start with '%YAML 1.0' + no '---'; be lenient
+        text = text.replace("%YAML 1.0", "").lstrip()
+        doc = yaml.safe_load(text)
+        cfg = cls()
+
+        def get(*keys, default=None):
+            node = doc
+            for k in keys:
+                if node is None or k not in node:
+                    return default
+                node = node[k]
+            return node
+
+        cam = get("camera")
+        if cam:
+            if "intrinsic" in cam:
+                cfg.camera_intrinsic = np.asarray(cam["intrinsic"], float)
+            if "noise" in cam:
+                cfg.camera_noise_cov = np.asarray(cam["noise"], float).reshape(2, 2)
+            if "extrinsic" in cam:
+                cfg.q_bc = _q_xyzw_to_wxyz(cam["extrinsic"]["q_bc"])
+                cfg.p_bc = np.asarray(cam["extrinsic"]["p_bc"], float)
+            if "distortion" in cam:
+                cfg.camera_distortion = np.asarray(cam["distortion"], float)
+                cfg.camera_distortion_model = cam.get("distortion_model", "radtan")
+        imu = get("imu")
+        if imu:
+            noise = imu.get("noise", {})
+            for yk, attr in [("cov_g", "imu_cov_g"), ("cov_a", "imu_cov_a"),
+                             ("cov_bg", "imu_cov_bg"), ("cov_ba", "imu_cov_ba")]:
+                if yk in noise:
+                    setattr(cfg, attr, np.asarray(noise[yk], float).reshape(3, 3))
+            if "extrinsic" in imu:
+                cfg.q_bi = _q_xyzw_to_wxyz(imu["extrinsic"]["q_bi"])
+                cfg.p_bi = np.asarray(imu["extrinsic"]["p_bi"], float)
+        out = get("output")
+        if out:
+            if "q_bo" in out:
+                cfg.q_bo = _q_xyzw_to_wxyz(out["q_bo"])
+            if "p_bo" in out:
+                cfg.p_bo = np.asarray(out["p_bo"], float)
+        if (v := get("sliding_window_size")) is not None:
+            cfg.sliding_window_size = int(v)
+            cfg.window_frame_capacity = cfg.sliding_window_size + 1
+        ft = get("feature_tracker")
+        if ft:
+            for yk, attr in [
+                ("min_keypoint_distance", "feature_tracker_min_keypoint_distance"),
+                ("max_keypoint_detection", "feature_tracker_max_keypoint_detection"),
+                ("max_init_frames", "feature_tracker_max_init_frames"),
+                ("max_frames", "feature_tracker_max_frames"),
+                ("predict_keypoints", "feature_tracker_predict_keypoints"),
+            ]:
+                if yk in ft:
+                    cur = getattr(cfg, attr)
+                    setattr(cfg, attr, type(cur)(ft[yk]))
+        ini = get("initializer")
+        if ini:
+            for yk in ["keyframe_num", "keyframe_gap", "min_matches",
+                       "min_triangulation", "min_landmarks"]:
+                if yk in ini:
+                    setattr(cfg, f"initializer_{yk}", int(ini[yk]))
+            if "min_parallax" in ini:
+                cfg.initializer_min_parallax = float(ini["min_parallax"])
+            if "refine_imu" in ini:
+                cfg.initializer_refine_imu = bool(ini["refine_imu"])
+        sol = get("solver")
+        if sol:
+            if "iteration_limit" in sol:
+                cfg.solver_iteration_limit = int(sol["iteration_limit"])
+            if "time_limit" in sol:
+                cfg.solver_time_limit = float(sol["time_limit"])
+        plane = get("plane")
+        if plane and "noise" in plane:
+            cfg.plane_distance_cov = float(plane["noise"])
+        return cfg

@@ -40,8 +40,10 @@ class SyntheticScene(NamedTuple):
     plane_distances: np.ndarray  # (P,)
 
 
-def _traj_pose(t, span=8.0):
-    """Smooth analytic trajectory: slow oval + yaw sweep + gentle roll."""
+def _traj_pose(t, span=5.0):
+    """Smooth analytic trajectory: oval + yaw sweep + gentle roll, with
+    enough acceleration excitation (~2-3 m/s^2) for scale/gravity
+    observability during initialization."""
     w = 2 * np.pi / span
     p = np.stack(
         [1.2 * np.sin(w * t), 0.8 * np.sin(2 * w * t), 0.25 * np.sin(w * t + 0.4)],
@@ -129,9 +131,10 @@ def make_scene(
     p_f = p_all[frame_idx]
     v_f = v_all[frame_idx]
 
-    # landmarks in a shell around the trajectory, in front of the cameras
-    pts = rng.uniform(-1.0, 1.0, size=(n_points, 3)) * np.array([4.0, 4.0, 1.5])
-    pts[:, 2] += rng.uniform(1.0, 3.0, size=n_points)  # mostly above/around
+    # landmarks in a slab in front of the cameras (the nominal optical
+    # axis is +z): dense enough that every frame sees a full keypoint set
+    pts = rng.uniform(-1.0, 1.0, size=(n_points, 3)) * np.array([2.5, 2.0, 1.0])
+    pts[:, 2] = rng.uniform(1.8, 4.5, size=n_points)
     plane_of_point = -np.ones(n_points + n_plane_points, dtype=np.int64)
     if n_plane_points > 0:
         # horizontal plane z = plane_z (normal +z, distance plane_z)
@@ -153,6 +156,202 @@ def make_scene(
         points=pts, plane_of_point=plane_of_point,
         plane_normals=plane_normals, plane_distances=plane_distances,
     )
+
+
+def solver_window_from_scene(scene, kf_indices, F_cap=9, T_cap=256, P_cap=8,
+                             dtype=None, kp_noise=0.0, imu_cap=64, seed=1,
+                             bg_est=None, ba_est=None, noise=None):
+    """Ground-truth solver window from a scene: true states, true depths,
+    preintegrated deltas. Shared by tests, bench.py and __graft_entry__.
+
+    Returns (WindowState, Extrinsics, info dict).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pvio_tpu.geometry import lie as _lie
+    from pvio_tpu.imu import preintegration as _pre
+    from pvio_tpu.map import window as _win
+
+    dtype = dtype or jnp.float32
+    nkf = len(kf_indices)
+    assert nkf <= F_cap
+    w = _win.empty_window(F_cap, T_cap, P_cap, dtype)
+    extr = _win.Extrinsics.identity(dtype)
+    if noise is None:
+        noise = _pre.ImuNoise.isotropic(1e-4, 1e-2, 1e-8, 1e-6, dtype=dtype)
+
+    kp, vis = project_points(scene, np.asarray(kf_indices), kp_noise=kp_noise,
+                             seed=seed)
+    counts = vis.sum(axis=0)
+    order = np.argsort(-counts)
+    chosen = [l for l in order if counts[l] >= 2][:T_cap]
+    L = len(chosen)
+
+    kp_grid = np.zeros((F_cap, T_cap, 2))
+    obs = np.zeros((F_cap, T_cap), dtype=bool)
+    kp_grid[:nkf, :L] = kp[:, chosen]
+    obs[:nkf, :L] = vis[:, chosen]
+    ref = np.argmax(obs, axis=0)
+
+    pts = scene.points[chosen]
+    q_ref = scene.q_wb[np.asarray(kf_indices)[ref[:L]]]
+    p_ref = scene.p_wb[np.asarray(kf_indices)[ref[:L]]]
+    R_cw = np.asarray(_lie.quat_to_mat(_lie.quat_conj(jnp.asarray(q_ref))))
+    y = np.einsum("lij,lj->li", R_cw, pts - p_ref)
+    inv_depth = np.ones(T_cap)
+    inv_depth[:L] = 1.0 / y[:, 2]
+
+    bg_est = np.zeros(3) if bg_est is None else np.asarray(bg_est)
+    ba_est = np.zeros(3) if ba_est is None else np.asarray(ba_est)
+    deltas = []
+    dvalid = np.zeros(F_cap, dtype=bool)
+    empty = _win.empty_delta(1, dtype)
+    for j in range(F_cap):
+        if 1 <= j < nkf:
+            t0 = scene.frame_t[kf_indices[j - 1]]
+            t1 = scene.frame_t[kf_indices[j]]
+            sel = (scene.imu_t >= t0) & (scene.imu_t < t1)
+            n = int(sel.sum())
+            n = min(n, imu_cap)
+            ts_p = np.zeros(imu_cap)
+            ws_p = np.zeros((imu_cap, 3))
+            as_p = np.zeros((imu_cap, 3))
+            m_p = np.zeros(imu_cap, dtype=bool)
+            ts_p[:n] = scene.imu_t[sel][:n]
+            ws_p[:n] = scene.gyro[sel][:n]
+            as_p[:n] = scene.accel[sel][:n]
+            m_p[:n] = True
+            d = _pre.preintegrate(
+                jnp.asarray(ts_p, dtype), jnp.asarray(ws_p, dtype),
+                jnp.asarray(as_p, dtype), jnp.asarray(m_p),
+                jnp.asarray(t1, dtype),
+                jnp.asarray(bg_est, dtype), jnp.asarray(ba_est, dtype), noise,
+            )
+            deltas.append(d)
+            dvalid[j] = True
+        else:
+            deltas.append(jax.tree.map(lambda a: a[0], empty))
+    delta = jax.tree.map(lambda *xs: jnp.stack(xs), *deltas)
+
+    fm = np.zeros(F_cap, dtype=bool)
+    fm[:nkf] = True
+    q = np.tile([1.0, 0, 0, 0], (F_cap, 1))
+    p = np.zeros((F_cap, 3))
+    v = np.zeros((F_cap, 3))
+    q[:nkf] = scene.q_wb[kf_indices]
+    p[:nkf] = scene.p_wb[kf_indices]
+    v[:nkf] = scene.v_wb[kf_indices]
+    from pvio_tpu.map.window import TF_VALID as _TFV
+
+    flags = np.where(np.arange(T_cap) < L, _TFV, 0).astype(np.int32)
+    w = w._replace(
+        q=jnp.asarray(q, dtype), p=jnp.asarray(p, dtype), v=jnp.asarray(v, dtype),
+        bg=jnp.tile(jnp.asarray(bg_est, dtype), (F_cap, 1)),
+        ba=jnp.tile(jnp.asarray(ba_est, dtype), (F_cap, 1)),
+        frame_mask=jnp.asarray(fm),
+        fix_mask=jnp.zeros(F_cap, bool).at[0].set(True),
+        delta=delta, delta_valid=jnp.asarray(dvalid),
+        bg_lin=jnp.tile(jnp.asarray(bg_est, dtype), (F_cap, 1)),
+        ba_lin=jnp.tile(jnp.asarray(ba_est, dtype), (F_cap, 1)),
+        inv_depth=jnp.asarray(inv_depth, dtype),
+        ref_frame=jnp.asarray(ref, np.int32),
+        track_mask=jnp.arange(T_cap) < L,
+        track_flags=jnp.asarray(flags),
+        kp=jnp.asarray(kp_grid, dtype),
+        obs_mask=jnp.asarray(obs),
+    )
+    return w, extr, {"n_frames": nkf, "n_tracks": L, "chosen": chosen}
+
+
+class OracleFeatureSource:
+    """Drop-in stand-in for core.feature_tracker.FeatureTracker that emits
+    RawFrames with *projected* keypoints (+ optional pixel noise) instead
+    of running detection/KLT on images. Track ids are landmark indices, so
+    data association is perfect. Used by golden-run tests to isolate the
+    estimation chain from front-end fidelity, and by benchmarks to drive
+    the solver at full rate."""
+
+    def __init__(self, scene: SyntheticScene, K, image_size, max_keypoints=150,
+                 kp_noise_px=0.0, seed=0, q_bc=None, p_bc=None):
+        from pvio_tpu.core.feature_tracker import RawFrame
+
+        self.frames = []
+        self.initialized = False
+        self._RawFrame = RawFrame
+        self.scene = scene
+        self.K = K
+        self.image_size = image_size
+        self.max_keypoints = max_keypoints
+        self.rng = np.random.default_rng(seed)
+        self.kp_noise_px = kp_noise_px
+        self.q_bc = q_bc
+        self.p_bc = p_bc
+        self.max_frames = 1000
+
+    def make_frame(self, frame_id, frame_index, imu_ts, imu_w, imu_a):
+        W, H = self.image_size
+        kp, vis = project_points(self.scene, np.array([frame_index]),
+                                 self.q_bc, self.p_bc, max_angle_tan=10.0)
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        px = kp[0, :, 0] * fx + cx
+        py = kp[0, :, 1] * fy + cy
+        ok = vis[0] & (px > 20) & (px < W - 20) & (py > 20) & (py < H - 20)
+        idx = np.nonzero(ok)[0][: self.max_keypoints]
+        Kmax = self.max_keypoints
+        kpa = np.zeros((Kmax, 2))
+        mask = np.zeros(Kmax, bool)
+        ids = -np.ones(Kmax, np.int64)
+        n = len(idx)
+        kpa[:n, 0] = px[idx]
+        kpa[:n, 1] = py[idx]
+        if self.kp_noise_px > 0:
+            kpa[:n] += self.rng.normal(size=(n, 2)) * self.kp_noise_px
+        mask[:n] = True
+        ids[:n] = idx
+        rf = self._RawFrame(frame_id, float(self.scene.frame_t[frame_index]),
+                            kpa, mask, ids, np.asarray(imu_ts),
+                            np.asarray(imu_w), np.asarray(imu_a))
+        self.frames.append(rf)
+        while len(self.frames) > self.max_frames:
+            self.frames.pop(0)
+        return rf
+
+    def frame_by_id(self, frame_id):
+        for f in self.frames:
+            if f.id == frame_id:
+                return f
+        return None
+
+
+def render_frame(scene: SyntheticScene, frame_index, K, image_size,
+                 q_bc=None, p_bc=None, sigma=1.6, seed=0):
+    """Render a grayscale image of the landmark cloud as gaussian splats —
+    enough texture for the KLT frontend to detect and track. image_size =
+    (W, H). Returns (H, W) float array in [0, 1]."""
+    W, H = image_size
+    kp, vis = project_points(scene, np.array([frame_index]), q_bc, p_bc,
+                             max_angle_tan=10.0)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    px = kp[0, :, 0] * fx + cx
+    py = kp[0, :, 1] * fy + cy
+    ok = vis[0] & (px > -5) & (px < W + 5) & (py > -5) & (py < H + 5)
+    rng = np.random.default_rng(1234)  # fixed per-landmark appearance
+    amp = rng.uniform(0.45, 1.0, size=len(px))
+    img = np.zeros((H, W))
+    r = int(np.ceil(3 * sigma))
+    for i in np.nonzero(ok)[0]:
+        x0 = int(np.floor(px[i]))
+        y0 = int(np.floor(py[i]))
+        xs = np.arange(max(x0 - r, 0), min(x0 + r + 1, W))
+        ys = np.arange(max(y0 - r, 0), min(y0 + r + 1, H))
+        if len(xs) == 0 or len(ys) == 0:
+            continue
+        gx = np.exp(-((xs - px[i]) ** 2) / (2 * sigma**2))
+        gy = np.exp(-((ys - py[i]) ** 2) / (2 * sigma**2))
+        img[np.ix_(ys, xs)] += amp[i] * np.outer(gy, gx)
+    return np.clip(img, 0.0, 1.0)
 
 
 def project_points(scene: SyntheticScene, frame_indices, q_bc=None, p_bc=None,

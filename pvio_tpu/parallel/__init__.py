@@ -1,0 +1,1 @@
+from pvio_tpu.parallel import sharded_ba

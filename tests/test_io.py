@@ -1,0 +1,121 @@
+"""IO layer tests: YAML config parity, TUM writer round-trip,
+undistortion, EuRoC reader on a generated mini-dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pvio_tpu.io import synthetic
+from pvio_tpu.io.config import Config
+from pvio_tpu.io.datasets import EurocDatasetReader, open_dataset
+from pvio_tpu.io.tum_writer import TumTrajectoryWriter, load_tum
+from pvio_tpu.io.undistort import ImageUndistorter
+
+
+REFERENCE_EUROC_YAML = "/root/reference/config/euroc.yaml"
+
+
+def test_config_defaults_match_reference():
+    cfg = Config()
+    assert cfg.sliding_window_size == 8
+    assert cfg.feature_tracker_max_keypoint_detection == 150
+    assert cfg.solver_iteration_limit == 10
+    assert cfg.random_seed == 648
+    assert cfg.initializer_min_matches == 50
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_EUROC_YAML),
+                    reason="reference config not mounted")
+def test_config_loads_reference_euroc_yaml():
+    cfg = Config.from_yaml(REFERENCE_EUROC_YAML)
+    assert np.allclose(cfg.camera_intrinsic, [458.654, 457.296, 367.215, 248.375])
+    assert cfg.sliding_window_size == 8
+    assert cfg.feature_tracker_min_keypoint_distance == 25.0
+    assert cfg.initializer_keyframe_gap == 5
+    # q_bc yaml is xyzw; wxyz here — w should be the yaml's last entry
+    assert np.isclose(cfg.q_bc[0], 7.1230146066895372e-01)
+    assert np.isclose(np.linalg.norm(cfg.q_bc), 1.0, atol=1e-6)
+    assert np.allclose(cfg.imu_cov_a, np.eye(3) * 4.0e-6)
+    assert cfg.solver_iteration_limit == 10
+
+
+def test_tum_writer_roundtrip(tmp_path):
+    path = tmp_path / "traj.tum"
+    q = np.array([0.9, 0.1, -0.2, 0.3])
+    q = q / np.linalg.norm(q)
+    p = np.array([1.0, -2.0, 3.0])
+    with TumTrajectoryWriter(path) as w:
+        w.write_pose(12.5, q, p)
+        w.write_pose(12.6, q, p + 1)
+    t, q2, p2 = load_tum(path)
+    assert np.allclose(t, [12.5, 12.6])
+    assert np.allclose(q2[0], q, atol=1e-12)
+    assert np.allclose(p2[1], p + 1)
+
+
+def test_undistorter_identity():
+    K = np.array([[200.0, 0, 160], [0, 200.0, 120], [0, 0, 1]])
+    und = ImageUndistorter(K, None, "none", (320, 240))
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(240, 320)).astype(np.float32)
+    out = np.asarray(und.apply(img))
+    # float32 grid round-off makes borders interpolate; interior is exact
+    assert np.allclose(out[:-1, :-1], img[:-1, :-1], atol=1e-3)
+
+
+def test_undistorter_radtan_center_fixed():
+    K = np.array([[200.0, 0, 160], [0, 200.0, 120], [0, 0, 1]])
+    und = ImageUndistorter(K, [-0.28, 0.07, 0.0002, 0.00002], "radtan", (320, 240))
+    img = np.zeros((240, 320), np.float32)
+    img[120, 160] = 1.0
+    out = np.asarray(und.apply(img))
+    # the principal point maps to itself
+    assert out[120, 160] > 0.5
+
+
+def test_undistorter_equidistant_runs():
+    K = np.array([[190.0, 0, 256], [0, 190.0, 256], [0, 0, 1]])
+    und = ImageUndistorter(K, [0.003, 0.0008, -0.001, 0.0002], "equidistant", (512, 512))
+    img = np.ones((512, 512), np.float32)
+    out = np.asarray(und.apply(img))
+    assert np.isfinite(out).all()
+
+
+def _write_mini_euroc(root, scene, K, image_size, n_frames=5):
+    cam = root / "mav0" / "cam0"
+    imu = root / "mav0" / "imu0"
+    (cam / "data").mkdir(parents=True)
+    imu.mkdir(parents=True)
+    with open(imu / "data.csv", "w") as f:
+        f.write("#timestamp,wx,wy,wz,ax,ay,az\n")
+        for i, t in enumerate(scene.imu_t):
+            w = scene.gyro[i]
+            a = scene.accel[i]
+            f.write(f"{int(t*1e9)},{w[0]},{w[1]},{w[2]},{a[0]},{a[1]},{a[2]}\n")
+    with open(cam / "data.csv", "w") as f:
+        f.write("#timestamp,filename\n")
+        for i in range(n_frames):
+            t = scene.frame_t[i]
+            name = f"{int(t*1e9)}.npy"
+            img = synthetic.render_frame(scene, i, K, image_size)
+            np.save(cam / "data" / name, img.astype(np.float32))
+            f.write(f"{int(t*1e9)},{name}\n")
+
+
+def test_euroc_reader_stream_order(tmp_path):
+    cfg = Config()
+    cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
+    cfg.image_size = (320, 240)
+    scene = synthetic.make_scene(duration=0.5, n_points=50)
+    _write_mini_euroc(tmp_path, scene, cfg.K, cfg.image_size, n_frames=5)
+    reader = open_dataset(f"euroc://{tmp_path}", cfg)
+    events = list(reader)
+    kinds = [e[0] for e in events]
+    assert kinds.count("camera") == 5
+    assert kinds.count("gyroscope") == len(scene.imu_t)
+    ts = [e[1] for e in events]
+    assert ts == sorted(ts)
+    cam_events = [e for e in events if e[0] == "camera"]
+    assert cam_events[0][2].shape == (240, 320)
+    assert 0.0 <= cam_events[0][2].max() <= 1.0

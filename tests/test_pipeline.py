@@ -1,0 +1,129 @@
+"""End-to-end pipeline tests (the golden-run regression of SURVEY §4, with
+the synthetic scene standing in for EuRoC — no datasets in this env).
+
+Two tiers:
+  * oracle features (projected keypoints + noise, perfect association):
+    strict accuracy assertions on the estimation chain (init + PnP + BA +
+    marginalization + keyframing);
+  * rendered images through the full detection/KLT frontend: functional
+    assertions with a loose ATE bound (blob imagery drifts more than real
+    texture).
+"""
+
+import numpy as np
+import pytest
+
+from pvio_tpu import PVIO, Config
+from pvio_tpu.core.frontend_worker import FrontendWorker
+from pvio_tpu.core.kernels import DeviceKernels
+from pvio_tpu.geometry import wahba
+from pvio_tpu.io import synthetic
+
+import jax.numpy as jnp
+
+
+def small_config(**kw):
+    cfg = Config()
+    cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
+    cfg.image_size = (320, 240)
+    cfg.sliding_window_size = 6
+    cfg.window_frame_capacity = 7
+    cfg.track_capacity = 96
+    cfg.feature_tracker_max_keypoint_detection = 60
+    cfg.feature_tracker_min_keypoint_distance = 12.0
+    cfg.initializer_keyframe_gap = 4
+    cfg.initializer_min_matches = 20
+    cfg.initializer_min_parallax = 5.0
+    cfg.initializer_min_triangulation = 15
+    cfg.initializer_min_landmarks = 15
+    cfg.keyframe_min_common_tracks = 20
+    cfg.keyframe_parallax_px = 25.0
+    cfg.solver_iteration_limit = 8
+    cfg.dtype = "float64"
+    cfg.enable_plane_constraint = False
+    cfg.imu_buffer_capacity = 64
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def run_oracle(cfg, scene, kp_noise_px):
+    kern = DeviceKernels(cfg)
+    oracle = synthetic.OracleFeatureSource(
+        scene, cfg.K, cfg.image_size,
+        max_keypoints=cfg.feature_tracker_max_keypoint_detection,
+        kp_noise_px=kp_noise_px,
+    )
+    fw = FrontendWorker(cfg, kern, oracle)
+    outputs = []
+    for fi in range(len(scene.frame_t)):
+        t = scene.frame_t[fi]
+        if fi == 0:
+            sel = scene.imu_t <= t
+        else:
+            sel = (scene.imu_t >= scene.frame_t[fi - 1]) & (scene.imu_t < t)
+        rf = oracle.make_frame(fi, fi, scene.imu_t[sel], scene.gyro[sel],
+                               scene.accel[sel])
+        st = fw.issue_frame(rf)
+        if st is not None:
+            outputs.append((st[0], st[2].copy()))
+    return fw, outputs
+
+
+def ate_of(outputs, scene):
+    t2idx = {round(t, 6): i for i, t in enumerate(scene.frame_t)}
+    est, gt = [], []
+    for (t, p) in outputs:
+        i = t2idx.get(round(t, 6))
+        if i is not None:
+            est.append(p)
+            gt.append(scene.p_wb[i])
+    est = jnp.asarray(np.array(est))
+    gt = jnp.asarray(np.array(gt))
+    s, _, _ = wahba.find_srt(est, gt)
+    return (float(wahba.ate_rmse(est, gt, with_scale=False)), float(s))
+
+
+@pytest.mark.slow
+def test_oracle_pipeline_accuracy():
+    cfg = small_config()
+    scene = synthetic.make_scene(duration=4.0, fps=20.0, imu_rate=200.0,
+                                 n_points=320, seed=648)
+    fw, outputs = run_oracle(cfg, scene, kp_noise_px=0.3)
+    assert fw.initialized
+    assert fw.n_reinits == 0
+    assert len(outputs) >= 40
+    ate, scale = ate_of(outputs, scene)
+    assert abs(scale - 1.0) < 0.06, f"scale {scale}"
+    assert ate < 0.12, f"ATE {ate} m"
+
+
+@pytest.mark.slow
+def test_image_pipeline_functional():
+    """Full frontend (CLAHE + Shi-Tomasi + KLT + F-gate) on rendered
+    blob imagery: must initialize, never re-init, and stay within a loose
+    ATE bound."""
+    cfg = small_config()
+    scene = synthetic.make_scene(duration=4.0, fps=20.0, imu_rate=200.0,
+                                 n_points=320, seed=648)
+    vio = PVIO(cfg)
+    K = cfg.K
+    n_frames = len(scene.frame_t)
+    fi = 0
+    for k in range(len(scene.imu_t)):
+        t = scene.imu_t[k]
+        vio.track_gyroscope(t, *scene.gyro[k])
+        vio.track_accelerometer(t, *scene.accel[k])
+        while fi < n_frames and scene.frame_t[fi] <= t:
+            img = synthetic.render_frame(scene, fi, K, cfg.image_size)
+            vio.track_camera(scene.frame_t[fi], img)
+            fi += 1
+    assert vio.initialized
+    assert vio.core.frontend.n_reinits == 0
+    traj = vio.get_trajectory()
+    assert len(traj) >= 40
+    ate, scale = ate_of([(t, p) for (t, q, p) in traj], scene)
+    assert ate < 0.8, f"ATE {ate} m"
+    st = vio.get_latest_state()
+    assert st is not None and np.isfinite(st.p).all()
+    assert len(vio.get_map_points()) > 10
