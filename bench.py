@@ -49,29 +49,36 @@ def main():
           file=sys.stderr)
 
     cfg = ba.BAConfig(iterations=10, kp_sqrt_inv_cov=283.0, use_planes=False)
+    reps = 5 if args.quick else 50
 
+    # Time with IN-GRAPH repetition: the serving environment may cache
+    # whole dispatches by input hash, so per-call host timing can measure
+    # RTT instead of compute. A lax.scan of `reps` chained solves inside
+    # one jit gives compute-only numbers.
     @jax.jit
-    def keyframe_step(window):
-        w2, out = ba.solve(window, extr, cfg)
-        return w2, out["final_cost"]
+    def keyframe_steps(window):
+        def body(wc, i):
+            # small input perturbation each rep: no two solves identical
+            wp = wc._replace(p=wc.p + 1e-6 * jnp.float32(i))
+            w2, out = ba.solve(wp, extr, cfg)
+            return w2, out["final_cost"]
 
-    # warmup / compile
-    t0 = time.perf_counter()
-    w2, cost = keyframe_step(w)
-    jax.block_until_ready(cost)
-    print(f"compile+first: {time.perf_counter() - t0:.1f}s, "
-          f"final cost {float(cost):.3e}", file=sys.stderr)
+        wf, costs = jax.lax.scan(body, window, jnp.arange(reps))
+        return wf, costs
 
-    reps = 5 if args.quick else 30
-    # steady state: alternate two inputs to avoid any caching illusions
     t0 = time.perf_counter()
-    for i in range(reps):
-        w2, cost = keyframe_step(w if i % 2 == 0 else w2)
-    jax.block_until_ready(cost)
+    w2, costs = keyframe_steps(w)
+    jax.block_until_ready(costs)
+    print(f"compile+first({reps} chained solves): {time.perf_counter() - t0:.1f}s, "
+          f"final cost {float(costs[-1]):.3e}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    w2, costs = keyframe_steps(w._replace(p=w.p + 1e-5))
+    jax.block_until_ready(costs)
     dt = time.perf_counter() - t0
     value = reps / dt
-    print(f"{reps} keyframe BA steps in {dt:.3f}s "
-          f"({1e3 * dt / reps:.1f} ms/step)", file=sys.stderr)
+    print(f"{reps} chained keyframe BA steps in {dt:.3f}s "
+          f"({1e3 * dt / reps:.2f} ms/step)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "keyframe_ba_steps_per_s",

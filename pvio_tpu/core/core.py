@@ -21,6 +21,7 @@ from pvio_tpu.core.frontend_worker import FrontendWorker
 from pvio_tpu.core.kernels import DeviceKernels
 from pvio_tpu.geometry import lie
 from pvio_tpu.imu.preintegration import GRAVITY_NOMINAL
+from pvio_tpu.utils.forensics import bus as forensics
 
 import jax.numpy as jnp
 
@@ -47,7 +48,7 @@ def _propagate(q, p, v, bg, ba, t0, ts, ws, accs):
 
 
 class Core:
-    def __init__(self, config, plane_extractor_factory=None):
+    def __init__(self, config, plane_extractor_factory=None, use_native=True):
         self.cfg = config
         self.kernels = DeviceKernels(config)
         self.feature_tracker = FeatureTracker(config, self.kernels)
@@ -61,26 +62,65 @@ class Core:
         self.outputs = []      # (t, q_out, p_out) trajectory
         self._last_frame_t = -np.inf
         self._boundary = None  # last IMU sample consumed by a frame
+        # native C++ sensor hub (csrc/pvio_core.cpp) when available
+        self.hub = None
+        if use_native:
+            try:
+                from pvio_tpu.utils.native import NativeSensorHub
+
+                self.hub = NativeSensorHub(imu_capacity=4 * config.imu_buffer_capacity)
+            except Exception:
+                self.hub = None
+        self._images = {}      # frame id -> image (native path)
 
     # ------------------------------------------------------------------
     # public sensor entry points (pvio.h:135-148 facade semantics)
     # ------------------------------------------------------------------
     def track_gyroscope(self, t, x, y, z):
-        self.gyro.append((t, np.array([x, y, z])))
-        self._pair_imu()
+        if self.hub is not None:
+            self.hub.push_gyro(t, x, y, z)
+            self._dispatch_native()
+        else:
+            self.gyro.append((t, np.array([x, y, z])))
+            self._pair_imu()
         return self._predict_output(t)
 
     def track_accelerometer(self, t, x, y, z):
-        self.accel.append((t, np.array([x, y, z])))
-        self._pair_imu()
+        if self.hub is not None:
+            self.hub.push_accel(t, x, y, z)
+            self._dispatch_native()
+        else:
+            self.accel.append((t, np.array([x, y, z])))
+            self._pair_imu()
         return self._predict_output(t)
 
     def track_camera(self, t, image):
+        forensics.measure_rate("camera_input_rate", t)
+        forensics.measure_rate("camera_real_rate", __import__("time").perf_counter())
         fid = self.frame_counter
         self.frame_counter += 1
-        self.pending_frames.append([fid, t, image])
-        self._dispatch_frames()
+        if self.hub is not None:
+            self._images[fid] = image
+            self.hub.push_frame(fid, t)
+            self._dispatch_native()
+        else:
+            self.pending_frames.append([fid, t, image])
+            self._dispatch_frames()
         return self._predict_output(t)
+
+    def _dispatch_native(self):
+        while True:
+            got = self.hub.poll_frame()
+            if got is None:
+                return
+            fid, t, ts, ws, accs = got
+            image = self._images.pop(fid)
+            with forensics.timer("feature_tracker_time"):
+                rf = self.feature_tracker.track_frame(fid, t, image, ts, ws, accs)
+            state = self.frontend.issue_frame(rf)
+            if state is not None:
+                self._emit_output(state)
+            self._last_frame_t = t
 
     # ------------------------------------------------------------------
     def _pair_imu(self):
@@ -125,7 +165,8 @@ class Core:
             ts = np.array([s[0] for s in take])
             ws = np.array([s[1] for s in take]).reshape(-1, 3)
             accs = np.array([s[2] for s in take]).reshape(-1, 3)
-            rf = self.feature_tracker.track_frame(fid, t, image, ts, ws, accs)
+            with forensics.timer("feature_tracker_time"):
+                rf = self.feature_tracker.track_frame(fid, t, image, ts, ws, accs)
             state = self.frontend.issue_frame(rf)
             if state is not None:
                 self._emit_output(state)
@@ -145,6 +186,11 @@ class Core:
         if self.frontend.swt is None:
             return None
         t0, q, p, v, bg, ba = self.frontend.swt.latest_state
+        forensics.set("input_output_lag", min(t_now - t0, 5.0))
+        if self.hub is not None:
+            state16 = np.concatenate([q, p, v, bg, ba])
+            q, p = self.hub.predict(state16, t0, t_now)
+            return (t_now, q, p)
         pend = [(s[0], s[1], s[2]) for s in self.imu if s[0] > t0]
         if pend:
             ts = np.array([s[0] for s in pend])

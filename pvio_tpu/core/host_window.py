@@ -185,6 +185,11 @@ class HostWindow:
         self.quality = np.array(w.quality)
         self.ref_frame = np.array(w.ref_frame)
         self.track_mask = np.array(w.track_mask)
+        # kp/obs_mask are host-owned topology, but device-side
+        # marginalization shifts frame slots — mirror them back so the
+        # grids stay aligned with the shifted frame rows
+        self.kp = np.array(w.kp)
+        self.obs_mask = np.array(w.obs_mask)
         self.plane_normal = np.array(w.plane_normal)
         self.plane_distance = np.array(w.plane_distance)
         self.plane_mask = np.array(w.plane_mask)

@@ -50,6 +50,7 @@ class DeviceKernels:
             min_plane_tracks=config.plane_min_tracks,
             use_inertial=True,
             use_planes=config.enable_plane_constraint,
+            fused_preint=(jax.default_backend() != "cpu"),
         )
         self.ba_cfg_vo = self.ba_cfg._replace(use_inertial=False, use_planes=False)
         self.pnp_cfg = pnp_mod.PnPConfig(

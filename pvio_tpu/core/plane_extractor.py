@@ -31,6 +31,7 @@ import numpy as np
 
 from pvio_tpu.frontend import ransac as ransac_mod
 from pvio_tpu.geometry import lie
+from pvio_tpu.map import sector_area as sa
 from pvio_tpu.map.window import TF_PLANE, TF_VALID
 
 
@@ -40,8 +41,11 @@ class PlaneExtractor:
         self.k = kernels
         self._key = jax.random.PRNGKey(config.random_seed + 1)
         self.next_plane_id = 0
+        self.areas = {}  # plane slot -> SectorArea (utility/sector_area.h role)
+        thr = float(getattr(config, "plane_ransac_threshold", 0.03))
+        self.min_inliers = int(getattr(config, "plane_min_inliers", 30))
         self._find_plane = jax.jit(
-            lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask, threshold=0.03)
+            lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask, threshold=thr)
         )
 
     def _next_key(self):
@@ -101,12 +105,12 @@ class PlaneExtractor:
             & ((baseline > 0.5)
                | ((hw.inv_depth < 5.0) & (baseline * np.abs(hw.inv_depth) > 0.5)))
         )
-        if good.sum() < 30:
+        if good.sum() < self.min_inliers:
             return None
         n, d, inl, count = self._find_plane(
             self._next_key(), jnp.asarray(pts, self.k.dtype), jnp.asarray(good)
         )
-        if int(count) <= 30:
+        if int(count) <= self.min_inliers:
             return None
         inl = np.array(inl) & good
         n2, d2, cog = ransac_mod.refine_plane_pca(jnp.asarray(pts, self.k.dtype),
@@ -135,6 +139,11 @@ class PlaneExtractor:
         for c in rec["cols"]:
             hw.track_flags[c] |= TF_PLANE
             hw.plane_id[c] = slot
+        # polar-sector extent of the new plane (update_sector_area role)
+        basis = np.array(lie.s2_tangential_basis(jnp.asarray(rec["normal"])))
+        pts = self._landmarks(hw)[rec["cols"]]
+        self.areas[slot] = sa.insert(
+            sa.SectorArea.empty(rec["reference_point"], basis), pts)
 
     # ------------------------------------------------------------------
     def extend_planes(self, hw, extend_rpe_ratio=1.2):
@@ -183,22 +192,21 @@ class PlaneExtractor:
                     best_point = plane_point
                     best_slot = s
                 if rpe_after / max(rpe_before, 1e-12) < extend_rpe_ratio or rpe_after < 0.5:
-                    # near-boundary test (SectorArea role): within 1.2x the
-                    # median member spread of the closest member point
-                    mp = member_pts.get(s)
-                    if mp is None or len(mp) == 0:
+                    # polar-sector near-boundary gate
+                    # (plane_extractor.cpp:131-140, sector_area.h:57-118)
+                    area = self.areas.get(s)
+                    if area is None:
                         continue
-                    dmin = np.linalg.norm(mp - plane_point, axis=-1).min()
-                    spread = np.median(
-                        np.linalg.norm(mp - mp.mean(axis=0), axis=-1)
-                    ) + 1e-6
-                    if dmin < 1.2 * spread + 0.1:
+                    if sa.is_near_boundary(area, plane_point, True, 1.2, 0.1):
                         adopted = True
             if adopted and best_slot >= 0:
                 hw.track_flags[c] |= TF_PLANE
                 hw.plane_id[c] = best_slot
                 # move the landmark onto the best plane point
                 self._set_landmark(hw, c, best_point)
+                if best_slot in self.areas:
+                    self.areas[best_slot] = sa.insert(
+                        self.areas[best_slot], best_point[None])
 
     def _set_landmark(self, hw, col, point):
         """Re-express a world point as inverse depth in the reference
@@ -245,6 +253,11 @@ class PlaneExtractor:
                     if overlap > 0.3:
                         hw.plane_id[mj] = i
                         hw.plane_mask[j] = False
+                        if i in self.areas and j in self.areas:
+                            self.areas[i] = sa.merge(self.areas[i],
+                                                     self.areas.pop(j))
+                        else:
+                            self.areas.pop(j, None)
                         changed = True
                         break
                 if changed:
@@ -272,6 +285,12 @@ class PlaneExtractor:
             )
             hw.plane_normal[s] = np.array(n2)
             hw.plane_distance[s] = float(d2)
+            # rebuild + centralize the sector extent
+            # (plane->sector_area.centralize(), sliding_window_tracker.cpp:131)
+            basis = np.array(lie.s2_tangential_basis(jnp.asarray(np.array(n2))))
+            # built directly at the member centroid — already centralized
+            self.areas[s] = sa.insert(
+                sa.SectorArea.empty(np.array(cog), basis), pts[m])
 
     # ------------------------------------------------------------------
     def plane_track_points(self, w_dev, x_world):

@@ -18,6 +18,7 @@ import numpy as np
 from pvio_tpu.core.host_window import HostWindow
 from pvio_tpu.geometry import lie
 from pvio_tpu.map.window import TF_PLANE, TF_VALID
+from pvio_tpu.utils.forensics import bus as forensics
 
 
 class SlidingWindowTracker:
@@ -118,8 +119,14 @@ class SlidingWindowTracker:
             if not bool(jax.device_get(w.prior.valid)):
                 w = w._replace(prior=self.k.initial_prior(w))
             w = self._attach_deltas(w)
-            w, info = self.k.ba_vi(w)
+            with forensics.timer("bundle_adjustor_solve_time"):
+                w, info = self.k.ba_vi(w)
+                jax.block_until_ready(w.p)
             hw.from_device(w)
+            forensics.set("solver_info", {k_: float(v) for k_, v in info.items()})
+            forensics.set("sliding_window_landmarks",
+                          int(((hw.track_flags & (TF_VALID | TF_PLANE)) != 0).sum()))
+            forensics.set("sliding_window_planes", int(hw.plane_mask.sum()))
         else:
             # replace tail: merge the IMU span (:115-121)
             merged_ts = np.concatenate([hw.imu_ts[tail], raw_new.imu_ts])
@@ -276,9 +283,11 @@ class SlidingWindowTracker:
         )
 
     def _marginalize_oldest(self):
-        w = self.hw.to_device()
-        w = self._attach_deltas(w)
-        w = self.k.marginalize0(w)
+        with forensics.timer("bundle_adjustor_marginalization_time"):
+            w = self.hw.to_device()
+            w = self._attach_deltas(w)
+            w = self.k.marginalize0(w)
+            jax.block_until_ready(w.p)
         self.hw.from_device(w)
         self.hw.shift_after_marginalize(0)
         self.hw.frame_mask = np.array(w.frame_mask)

@@ -55,6 +55,7 @@ class BAConfig(NamedTuple):
     min_plane_tracks: int = 20        # bundle_adjustor.cpp:162
     use_inertial: bool = True
     use_planes: bool = True
+    fused_preint: bool = False   # struct-of-arrays fused preint factor bank
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
@@ -263,35 +264,49 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig):
     bd = jnp.einsum("fta,fta->t", J_d, r_w)
 
     # ---- preintegration factors between consecutive frames ----
+    # analytic Jacobians (factors.preintegration_residual_and_jacobians):
+    # ~30x cheaper than pushing 30 tangents through the residual on TPU
     if cfg.use_inertial:
         mask_pre = (w.frame_mask[:-1] & w.frame_mask[1:] & w.delta_valid[1:]).astype(dtype)
         delta_j = jax.tree.map(lambda a: a[1:], w.delta)
 
-        def one_pre(qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al):
-            f = lambda d30: _preint_residual_t(
-                d30, qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al, extr
-            )
-            return value_and_jacfwd(f, jnp.zeros(30, dtype))
+        if cfg.fused_preint:
+            from pvio_tpu.estimation.preint_soa import preint_factor_bank_soa
 
-        rp, Jp = jax.vmap(one_pre)(
-            w.q[:-1], w.p[:-1], w.v[:-1], w.bg[:-1], w.ba[:-1],
-            w.q[1:], w.p[1:], w.v[1:], w.bg[1:], w.ba[1:],
-            delta_j, w.bg_lin[1:], w.ba_lin[1:],
-        )  # rp (F-1, 15), Jp (F-1, 15, 30)
+            rp, Ji, Jj = preint_factor_bank_soa(
+                w.q, w.p, w.v, w.bg, w.ba, w.delta, w.bg_lin, w.ba_lin, extr
+            )
+        else:
+            rp, Ji, Jj = jax.vmap(
+                lambda qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al:
+                factors.preintegration_residual_and_jacobians(
+                    qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al, extr
+                )
+            )(
+                w.q[:-1], w.p[:-1], w.v[:-1], w.bg[:-1], w.ba[:-1],
+                w.q[1:], w.p[1:], w.v[1:], w.bg[1:], w.ba[1:],
+                delta_j, w.bg_lin[1:], w.ba_lin[1:],
+            )  # rp (F-1, 15), Ji/Jj (F-1, 15, 15)
         rp = rp * mask_pre[:, None]
-        Jp = Jp * mask_pre[:, None, None]
+        Ji = Ji * mask_pre[:, None, None]
+        Jj = Jj * mask_pre[:, None, None]
         cost = cost + jnp.sum(rp * rp)
         Ei = eyeF[:-1]  # (F-1, F) one-hot of frame j-1
         Ej = eyeF[1:]
-        Jfull_pre = jnp.einsum("kri,kg->krgi", Jp[..., :15], Ei) + jnp.einsum(
-            "kri,kg->krgi", Jp[..., 15:], Ej
+        # densify with explicit broadcasts (outer-product einsums lower to
+        # pathologically padded dots on TPU) and one clean (kr)x(gi) matmul
+        Jfull_pre = (
+            Ji[:, :, None, :] * Ei[:, None, :, None]
+            + Jj[:, :, None, :] * Ej[:, None, :, None]
         )  # (F-1, 15, F, 15)
-        Hpp = Hpp + jnp.einsum("krgi,krhj->gihj", Jfull_pre, Jfull_pre)
-        bp = bp + jnp.einsum("krgi,kr->gi", Jfull_pre, rp)
+        A_pre = Jfull_pre.reshape((F - 1) * 15, F * 15)
+        Hpp = Hpp + (A_pre.T @ A_pre).reshape(F, 15, F, 15)
+        bp = bp + (A_pre.T @ rp.reshape(-1)).reshape(F, 15)
 
-    # ---- marginalization prior ----
-    fmarg = lambda dF15: _marg_residual_t(dF15, w)
-    rm, Jm = value_and_jacfwd(fmarg, jnp.zeros(F * 15, dtype))  # (F15,), (F15, F15)
+    # ---- marginalization prior (analytic Jacobian) ----
+    rm, Jm = factors.marginalization_residual_and_jacobian(
+        w.q, w.p, w.v, w.bg, w.ba, w.prior
+    )
     cost = cost + jnp.sum(rm * rm)
     Hpp = Hpp + (Jm.T @ Jm).reshape(F, 15, F, 15)
     bp = bp + (Jm.T @ rm).reshape(F, 15)

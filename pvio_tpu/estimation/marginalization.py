@@ -53,38 +53,42 @@ def accumulate_information(w: WindowState, extr: Extrinsics, cfg: BAConfig, inde
     b = jnp.zeros((F, 15), dtype)
     eyeF = jnp.eye(F, dtype=dtype)
 
-    # (a) existing prior
-    rm, Jm = value_and_jacfwd(lambda d: _marg_residual_t(d, w), jnp.zeros(F * 15, dtype))
+    # (a) existing prior (analytic Jacobian)
+    rm, Jm = factors.marginalization_residual_and_jacobian(
+        w.q, w.p, w.v, w.bg, w.ba, w.prior
+    )
     H = H + (Jm.T @ Jm).reshape(F, 15, F, 15)
     b = b + (Jm.T @ rm).reshape(F, 15)
 
     # (b) preintegration factors j in {index, index+1}
     include = jnp.zeros(F - 1, bool)
     if index + 1 < F:
-        include = include.at[index].set(True)      # factor between index-1? no: j=index+1 spans index -> index+1
+        include = include.at[index].set(True)      # j=index+1 spans index -> index+1
     if index >= 1:
         include = include.at[index - 1].set(True)  # j=index spans index-1 -> index
     mask_pre = (w.frame_mask[:-1] & w.frame_mask[1:] & w.delta_valid[1:] & include).astype(dtype)
     delta_j = jax.tree.map(lambda a: a[1:], w.delta)
 
-    def one_pre(qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al):
-        f = lambda d30: _preint_residual_t(
-            d30, qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al, extr
+    rp, Ji, Jj = jax.vmap(
+        lambda qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al:
+        factors.preintegration_residual_and_jacobians(
+            qi, pi, vi, bgi, bai, qj, pj, vj, bgj, baj, dd, bl, al, extr
         )
-        return value_and_jacfwd(f, jnp.zeros(30, dtype))
-
-    rp, Jp = jax.vmap(one_pre)(
+    )(
         w.q[:-1], w.p[:-1], w.v[:-1], w.bg[:-1], w.ba[:-1],
         w.q[1:], w.p[1:], w.v[1:], w.bg[1:], w.ba[1:],
         delta_j, w.bg_lin[1:], w.ba_lin[1:],
     )
     rp = rp * mask_pre[:, None]
-    Jp = Jp * mask_pre[:, None, None]
-    Jfull_pre = jnp.einsum("kri,kg->krgi", Jp[..., :15], eyeF[:-1]) + jnp.einsum(
-        "kri,kg->krgi", Jp[..., 15:], eyeF[1:]
+    Ji = Ji * mask_pre[:, None, None]
+    Jj = Jj * mask_pre[:, None, None]
+    Jfull_pre = (
+        Ji[:, :, None, :] * eyeF[:-1][:, None, :, None]
+        + Jj[:, :, None, :] * eyeF[1:][:, None, :, None]
     )
-    H = H + jnp.einsum("krgi,krhj->gihj", Jfull_pre, Jfull_pre)
-    b = b + jnp.einsum("krgi,kr->gi", Jfull_pre, rp)
+    A_pre = Jfull_pre.reshape((F - 1) * 15, F * 15)
+    H = H + (A_pre.T @ A_pre).reshape(F, 15, F, 15)
+    b = b + (A_pre.T @ rp.reshape(-1)).reshape(F, 15)
 
     # (c) reprojection factors of victim-frame tracks (unrobustified)
     is_valid = (w.track_flags & TF_VALID) != 0

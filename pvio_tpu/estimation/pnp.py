@@ -91,13 +91,11 @@ def solve_pnp(
         H = jnp.einsum("tai,taj->ij", J_w, J_w)
         b = jnp.einsum("tai,ta->i", J_w, r_w)
         if cfg.use_inertial:
-            def r_pre_t(d15):
-                q, p, v, bg, ba = retract(state, d15)
-                return factors.preintegration_residual(
-                    last_q, last_p, last_v, last_bg, last_ba,
-                    q, p, v, bg, ba, delta, bg_lin, ba_lin, extr,
-                )
-            rpv, Jp = value_and_jacfwd(r_pre_t, jnp.zeros(15, dtype))
+            q, p, v, bg, ba = state
+            rpv, _, Jp = factors.preintegration_residual_and_jacobians(
+                last_q, last_p, last_v, last_bg, last_ba,
+                q, p, v, bg, ba, delta, bg_lin, ba_lin, extr,
+            )
             H = H + Jp.T @ Jp
             b = b + Jp.T @ rpv
         diag = jnp.maximum(jnp.diag(H), 1e-8)

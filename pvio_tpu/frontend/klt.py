@@ -44,39 +44,197 @@ def _patch_offsets(half, dtype):
     return jnp.stack([ox, oy], axis=-1)  # (P, P, 2)
 
 
+def _sample_patch(img, cx, cy, half):
+    """Bilinearly sample the (P, P) patch centered at (cx, cy) using ONE
+    dynamic block slice + fractional shift blending: every sample of a
+    patch shares the same fractional offset, so the per-pixel gather of a
+    naive implementation collapses into a contiguous (P+3, P+3) block
+    slice followed by four statically shaped shifted blends — orders of
+    magnitude cheaper on TPU than gathers."""
+    P = 2 * half + 1
+    # clamp the CENTER so the sample block never hits the border (patches
+    # straddling the border are culled by the status checks anyway; the
+    # clamp keeps the math bounded, like the reference's per-sample clamp)
+    cx = jnp.clip(cx, half + 1.0, img.shape[1] - half - 3.0)
+    cy = jnp.clip(cy, half + 1.0, img.shape[0] - half - 3.0)
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    wx = x0.astype(jnp.int32) - half - 1
+    wy = y0.astype(jnp.int32) - half - 1
+    Wb = jax.lax.dynamic_slice(img, (wy, wx), (P + 3, P + 3))
+    # local position of the patch's top-left sample inside the block
+    lx = cx - half - wx.astype(cx.dtype)
+    ly = cy - half - wy.astype(cy.dtype)
+    lxi = jnp.clip(jnp.floor(lx).astype(jnp.int32), 0, 2)
+    lyi = jnp.clip(jnp.floor(ly).astype(jnp.int32), 0, 2)
+    fx = lx - lxi.astype(cx.dtype)
+    fy = ly - lyi.astype(cy.dtype)
+    S = jax.lax.dynamic_slice(Wb, (lyi, lxi), (P + 1, P + 1))
+    rows = S[0:P, :] * (1.0 - fy) + S[1 : P + 1, :] * fy
+    return rows[:, 0:P] * (1.0 - fx) + rows[:, 1 : P + 1] * fx
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation: windows + banded resampling matmuls
+# ---------------------------------------------------------------------------
+
+WIN_H = 32    # per-keypoint search window rows
+WIN_W = 256   # two 128-lane tiles of columns
+
+
+def _extract_windows(img, cx, cy):
+    """Per-keypoint (WIN_H, WIN_W) windows via row-takes of 128-wide tiles
+    (contiguous 512-byte rows — the one memory-access pattern TPUs gather
+    efficiently). img must be padded to (8k, 128m). Returns
+    (windows (K, WIN_H, WIN_W), wx (K,), wy (K,))."""
+    H, W = img.shape
+    ntx = W // 128
+    tiles = img.reshape(H * ntx, 128)
+    xi = jnp.floor(cx).astype(jnp.int32)
+    yi = jnp.floor(cy).astype(jnp.int32)
+    # choose the two adjacent column tiles covering x with >= 64 px margin
+    tx = jnp.clip((xi - 64) // 128, 0, ntx - 2)
+    wx = tx * 128
+    wy = jnp.clip(yi - WIN_H // 2, 0, H - WIN_H)
+    rows = wy[:, None] + jnp.arange(WIN_H)[None, :]            # (K, WIN_H)
+    base = rows * ntx                                          # (K, WIN_H)
+    idx = jnp.stack([base + tx[:, None], base + tx[:, None] + 1], axis=-1)
+    w = jnp.take(tiles, idx.reshape(-1), axis=0)               # (K*WIN_H*2, 128)
+    K = cx.shape[0]
+    return w.reshape(K, WIN_H, WIN_W), wx, wy
+
+
+def _resample_ops(lx, ly, P, dtype):
+    """Banded bilinear resampling operators for per-keypoint fractional
+    window positions (lx, ly) (K,): Rv (K, P, WIN_H), Rh (K, P, WIN_W)
+    such that patch = Rv @ window @ Rh^T samples the (P, P) patch whose
+    top-left pixel sits at (lx, ly). One-hot bands on the MXU replace
+    gathers entirely."""
+    def band(l, N):
+        li = jnp.floor(l).astype(jnp.int32)
+        f = (l - li.astype(dtype))[:, None, None]
+        ok = (li >= 0) & (li + P + 1 <= N)
+        li = jnp.clip(li, 0, N - P - 1)
+        tgt = li[:, None] + jnp.arange(P)[None, :]             # (K, P)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+        R = ((cols == tgt[:, :, None]).astype(dtype) * (1.0 - f)
+             + (cols == (tgt[:, :, None] + 1)).astype(dtype) * f)
+        return R, ok
+
+    Rh, okx = band(lx, WIN_W)
+    Rv, oky = band(ly, WIN_H)
+    return Rv, Rh, okx & oky
+
+
+def _resample(windows, Rv, Rh):
+    return jnp.einsum("kpv,kvw,kqw->kpq", Rv, windows, Rh,
+                      preferred_element_type=windows.dtype)
+
+
 def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype):
-    """One pyramid level of LK for all keypoints.
+    """One pyramid level of LK for all keypoints — MXU formulation.
+
+    kp_prev (K, 2) positions in this level's coords; guess (K, 2) current
+    flow estimate. Returns (flow (K, 2), residual_err (K,)).
+
+    All bilinear patch sampling is expressed as banded-matrix products
+    (Rv @ window @ Rh^T): the per-iteration inner loop contains no gather
+    at all — per-keypoint windows are extracted once per level with
+    contiguous row-takes, then every Gauss-Newton iteration is a batched
+    matmul over (K, 32, 256) windows. Falls back to the slice-based path
+    for images smaller than a window.
+    """
+    H0, W0 = img_prev.shape
+    P = 2 * half + 1
+    # pad every level up to at least one window (tiny coarse levels are
+    # fully covered by a single window after padding)
+    Hp = max(-(-H0 // 8) * 8, WIN_H)
+    Wp = max(-(-W0 // 128) * 128, WIN_W)
+    if (Hp, Wp) != (H0, W0):
+        pad = ((0, Hp - H0), (0, Wp - W0))
+        img_prev = jnp.pad(img_prev, pad, mode="edge")
+        img_next = jnp.pad(img_next, pad, mode="edge")
+
+    cx = kp_prev[:, 0]
+    cy = kp_prev[:, 1]
+    Wprev, wxp, wyp = _extract_windows(img_prev, cx, cy)
+    # next-image windows centered on the predicted position
+    Wnext, wxn, wyn = _extract_windows(img_next, cx + guess[:, 0], cy + guess[:, 1])
+
+    lxp = cx - half - wxp.astype(dtype)
+    lyp = cy - half - wyp.astype(dtype)
+    Rv0, Rh0, _ = _resample_ops(lxp, lyp, P, dtype)
+    t = _resample(Wprev, Rv0, Rh0)
+    Rv1, Rh1, _ = _resample_ops(lxp + 0.5, lyp, P, dtype)
+    Rv2, Rh2, _ = _resample_ops(lxp - 0.5, lyp, P, dtype)
+    gx = _resample(Wprev, Rv1, Rh1) - _resample(Wprev, Rv2, Rh2)
+    Rv1, Rh1, _ = _resample_ops(lxp, lyp + 0.5, P, dtype)
+    Rv2, Rh2, _ = _resample_ops(lxp, lyp - 0.5, P, dtype)
+    gy = _resample(Wprev, Rv1, Rh1) - _resample(Wprev, Rv2, Rh2)
+
+    a = jnp.sum(gx * gx, axis=(1, 2))
+    b = jnp.sum(gx * gy, axis=(1, 2))
+    c = jnp.sum(gy * gy, axis=(1, 2))
+    det = a * c - b * b
+    det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    cap = jnp.asarray(float(P), dtype)
+    fcap = jnp.asarray(float(max(Hp, Wp)), dtype)
+
+    def step(_, gflow):
+        nlx = cx + gflow[:, 0] - half - wxn.astype(dtype)
+        nly = cy + gflow[:, 1] - half - wyn.astype(dtype)
+        Rv, Rh, _ = _resample_ops(nlx, nly, P, dtype)
+        e = _resample(Wnext, Rv, Rh) - t
+        bx = jnp.sum(e * gx, axis=(1, 2))
+        by = jnp.sum(e * gy, axis=(1, 2))
+        dx = jnp.clip((c * bx - b * by) / det_s, -cap, cap)
+        dy = jnp.clip((a * by - b * bx) / det_s, -cap, cap)
+        return jnp.clip(gflow - jnp.stack([dx, dy], axis=-1), -fcap, fcap)
+
+    g1 = jax.lax.fori_loop(0, iters, step, guess)
+    nlx = cx + g1[:, 0] - half - wxn.astype(dtype)
+    nly = cy + g1[:, 1] - half - wyn.astype(dtype)
+    Rv, Rh, ok = _resample_ops(nlx, nly, P, dtype)
+    e = _resample(Wnext, Rv, Rh) - t
+    err = jnp.mean(jnp.abs(e), axis=(1, 2))
+    err = jnp.where(ok, err, jnp.inf)
+    return g1, err
+
+
+def _track_level_slices(img_prev, img_next, kp_prev, guess, iters, half, dtype):
+    """Slice-based fallback for tiny (coarse) pyramid levels.
 
     kp_prev (K, 2) positions in this level's coords; guess (K, 2) current
     flow estimate. Returns (flow (K, 2), residual_err (K,)).
     """
-    offs = _patch_offsets(half, dtype)  # (P, P, 2)
 
     def one(kp, g):
-        coords = kp[None, None, :] + offs  # (P, P, 2)
-        t = _bilinear(img_prev, coords)
-        # spatial gradients of the template (central differences on samples)
-        gx = (_bilinear(img_prev, coords + jnp.array([0.5, 0.0], dtype)) -
-              _bilinear(img_prev, coords + jnp.array([-0.5, 0.0], dtype)))
-        gy = (_bilinear(img_prev, coords + jnp.array([0.0, 0.5], dtype)) -
-              _bilinear(img_prev, coords + jnp.array([0.0, -0.5], dtype)))
+        cx, cy = kp[0], kp[1]
+        t = _sample_patch(img_prev, cx, cy, half)
+        # template gradients via +-0.5 px shifted samples
+        gx = (_sample_patch(img_prev, cx + 0.5, cy, half)
+              - _sample_patch(img_prev, cx - 0.5, cy, half))
+        gy = (_sample_patch(img_prev, cx, cy + 0.5, half)
+              - _sample_patch(img_prev, cx, cy - 0.5, half))
         a = jnp.sum(gx * gx)
         b = jnp.sum(gx * gy)
         c = jnp.sum(gy * gy)
         det = a * c - b * b
         det_s = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        cap = jnp.asarray(float(2 * half + 1), dtype)
+        fcap = jnp.asarray(float(max(img_prev.shape)), dtype)
 
         def step(_, gflow):
-            w = _bilinear(img_next, (kp + gflow)[None, None, :] + offs)
+            w = _sample_patch(img_next, cx + gflow[0], cy + gflow[1], half)
             e = w - t
             bx = jnp.sum(e * gx)
             by = jnp.sum(e * gy)
-            dx = (c * bx - b * by) / det_s
-            dy = (a * by - b * bx) / det_s
-            return gflow - jnp.stack([dx, dy])
+            dx = jnp.clip((c * bx - b * by) / det_s, -cap, cap)
+            dy = jnp.clip((a * by - b * bx) / det_s, -cap, cap)
+            return jnp.clip(gflow - jnp.stack([dx, dy]), -fcap, fcap)
 
         g1 = jax.lax.fori_loop(0, iters, step, g)
-        w = _bilinear(img_next, (kp + g1)[None, None, :] + offs)
+        w = _sample_patch(img_next, cx + g1[0], cy + g1[1], half)
         err = jnp.mean(jnp.abs(w - t))
         return g1, err
 

@@ -73,6 +73,8 @@ class Config:
     enable_plane_constraint: bool = True
     plane_distance_cov: float = 0.01 * 0.01
     plane_min_tracks: int = 20
+    plane_ransac_threshold: float = 0.03   # plane_extractor.cpp:56
+    plane_min_inliers: int = 30            # plane_extractor.cpp:58
 
     # --- capacities of the fixed-shape solver arrays (TPU build only) ---
     window_frame_capacity: int = 0    # 0 => sliding_window_size + 1

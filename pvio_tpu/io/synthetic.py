@@ -20,6 +20,63 @@ import jax.numpy as jnp
 
 GRAVITY = np.array([0.0, 0.0, -GRAVITY_NOMINAL])
 
+# -- numpy quaternion helpers (host-side; avoids device dispatch per call) --
+
+def _np_quat_mul(a, b):
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return np.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def _np_quat_conj(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _np_expmap(w):
+    t2 = np.sum(w * w, axis=-1, keepdims=True)
+    small = t2 < 1e-12
+    t = np.sqrt(np.where(small, 1.0, t2))
+    s = np.where(small, 0.5 - t2 / 48.0, np.sin(0.5 * t) / t)
+    c = np.where(small, 1.0 - t2 / 8.0, np.cos(0.5 * t))
+    return np.concatenate([c, s * w], axis=-1)
+
+
+def _np_logmap(q):
+    q = q * np.sign(np.where(q[..., :1] == 0, 1.0, q[..., :1]))
+    w = q[..., :1]
+    u = q[..., 1:]
+    n2 = np.sum(u * u, axis=-1, keepdims=True)
+    small = n2 < 1e-12
+    n = np.sqrt(np.where(small, 1.0, n2))
+    angle = 2.0 * np.arctan2(n, w)
+    scale = np.where(small, 2.0 / np.maximum(w, 0.5), angle / n)
+    return scale * u
+
+
+def _np_quat_to_mat(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (yy + zz); R[..., 0, 1] = 2 * (xy - wz); R[..., 0, 2] = 2 * (xz + wy)
+    R[..., 1, 0] = 2 * (xy + wz); R[..., 1, 1] = 1 - 2 * (xx + zz); R[..., 1, 2] = 2 * (yz - wx)
+    R[..., 2, 0] = 2 * (xz - wy); R[..., 2, 1] = 2 * (yz + wx); R[..., 2, 2] = 1 - 2 * (xx + yy)
+    return R
+
+
+def _np_quat_rotate(q, v):
+    w = q[..., :1]
+    u = q[..., 1:]
+    uv = np.cross(u, v)
+    return v + 2.0 * (w * uv + np.cross(u, uv))
+
+
 
 class SyntheticScene(NamedTuple):
     # trajectory at frame rate (body frame states, world coords)
@@ -53,7 +110,7 @@ def _traj_pose(t, span=5.0):
     pitch = 0.12 * np.sin(2 * w * t + 0.3)
     roll = 0.10 * np.sin(w * t + 1.1)
     rv = np.stack([roll, pitch, yaw], axis=-1)
-    q = np.asarray(lie.expmap(jnp.asarray(rv)))
+    q = _np_expmap(rv)
     return q, p
 
 
@@ -64,7 +121,7 @@ def make_scene(
     imu_rate=200.0,
     n_points=160,
     n_plane_points=0,
-    plane_z=-0.6,
+    plane_z=4.6,
     gyro_noise=0.0,
     accel_noise=0.0,
     bg=(0.0, 0.0, 0.0),
@@ -95,11 +152,11 @@ def make_scene(
     q_i, _ = _traj_pose(imu_t)
     q_ip, _ = _traj_pose(imu_t + h)
     # body angular rate: omega = logmap(q(t)^-1 q(t+h)) / h
-    dq = lie.quat_mul(lie.quat_conj(jnp.asarray(q_i)), jnp.asarray(q_ip))
-    omega = np.asarray(lie.logmap(dq)) / h
+    dq = _np_quat_mul(_np_quat_conj(q_i), q_ip)
+    omega = _np_logmap(dq) / h
     a_w = acc(imu_t)
     # specific force in body frame: f = R_wb^T (a - g)
-    R_bw = np.asarray(lie.quat_to_mat(lie.quat_conj(jnp.asarray(q_i))))
+    R_bw = _np_quat_to_mat(_np_quat_conj(q_i))
     f_b = np.einsum("nij,nj->ni", R_bw, a_w - GRAVITY)
 
     bg = np.asarray(bg, float)
@@ -119,13 +176,11 @@ def make_scene(
     v_all[0] = vel(np.array([0.0]))[0]
     for i in range(len(imu_t) - 1):
         dt = imu_t[i + 1] - imu_t[i]
-        Rwb = np.asarray(lie.quat_to_mat(jnp.asarray(q_all[i])))
+        Rwb = _np_quat_to_mat(q_all[i])
         a_world = Rwb @ f_b[i] + GRAVITY
         p_all[i + 1] = p_all[i] + dt * v_all[i] + 0.5 * dt * dt * a_world
         v_all[i + 1] = v_all[i] + dt * a_world
-        qn = np.asarray(
-            lie.quat_mul(jnp.asarray(q_all[i]), lie.expmap(jnp.asarray(omega[i] * dt)))
-        )
+        qn = _np_quat_mul(q_all[i], _np_expmap(omega[i] * dt))
         q_all[i + 1] = qn / np.linalg.norm(qn)
     q_f = q_all[frame_idx]
     p_f = p_all[frame_idx]
@@ -137,7 +192,7 @@ def make_scene(
     pts[:, 2] = rng.uniform(1.8, 4.5, size=n_points)
     plane_of_point = -np.ones(n_points + n_plane_points, dtype=np.int64)
     if n_plane_points > 0:
-        # horizontal plane z = plane_z (normal +z, distance plane_z)
+        # fronto-parallel wall z = plane_z (normal +z, distance plane_z), in view of the +z-looking camera
         ppts = np.concatenate(
             [rng.uniform(-4.0, 4.0, size=(n_plane_points, 2)),
              np.full((n_plane_points, 1), plane_z)], axis=-1
@@ -325,6 +380,61 @@ class OracleFeatureSource:
         return None
 
 
+_TEXTURE_WAVES = None
+
+
+def _texture(u, v, seed=7, n_waves=40):
+    """Procedural 2-D texture: sum of random sinusoids (dense gradients,
+    plenty of Shi-Tomasi corners)."""
+    global _TEXTURE_WAVES
+    if _TEXTURE_WAVES is None or _TEXTURE_WAVES[0] != (seed, n_waves):
+        rng = np.random.default_rng(seed)
+        freq = rng.uniform(0.5, 6.0, size=(n_waves, 2)) * rng.choice([-1, 1], size=(n_waves, 2))
+        phase = rng.uniform(0, 2 * np.pi, size=n_waves)
+        amp = rng.uniform(0.3, 1.0, size=n_waves) / np.sqrt(n_waves)
+        _TEXTURE_WAVES = ((seed, n_waves), freq, phase, amp)
+    _, freq, phase, amp = _TEXTURE_WAVES
+    acc = np.zeros_like(u)
+    for k in range(len(amp)):
+        acc = acc + amp[k] * np.sin(freq[k, 0] * u + freq[k, 1] * v + phase[k])
+    return 0.5 + 0.5 * acc / np.max(np.abs(acc) + 1e-9)
+
+
+def render_frame_textured(scene: SyntheticScene, frame_index, K, image_size,
+                          q_bc=None, p_bc=None, wall_z=None):
+    """Render a frame of a *textured wall* at z = wall_z (defaults to the
+    scene's plane if present, else behind the landmark slab): every pixel
+    ray is cast onto the wall and sampled from a procedural texture —
+    geometrically exact dense imagery that the KLT frontend can track
+    without the center-drift artifacts of sparse gaussian blobs."""
+    W, H = image_size
+    if wall_z is None:
+        wall_z = float(scene.plane_distances[0]) if len(scene.plane_distances) else 5.0
+    if q_bc is None:
+        q_bc = np.array([1.0, 0, 0, 0])
+    if p_bc is None:
+        p_bc = np.zeros(3)
+    q = scene.q_wb[frame_index]
+    p = scene.p_wb[frame_index]
+    q_wc = _np_quat_mul(q, q_bc)
+    p_wc = p + _np_quat_rotate(q, p_bc)
+    R_wc = _np_quat_to_mat(q_wc)
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    xs = (np.arange(W) - cx) / fx
+    ys = (np.arange(H) - cy) / fy
+    X, Y = np.meshgrid(xs, ys)
+    dirs = np.stack([X, Y, np.ones_like(X)], axis=-1) @ R_wc.T  # world rays
+    dz = dirs[..., 2]
+    dz = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+    s = (wall_z - p_wc[2]) / dz
+    hit_x = p_wc[0] + s * dirs[..., 0]
+    hit_y = p_wc[1] + s * dirs[..., 1]
+    img = _texture(hit_x, hit_y)
+    img = np.where(s > 0.1, img, 0.0)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
 def render_frame(scene: SyntheticScene, frame_index, K, image_size,
                  q_bc=None, p_bc=None, sigma=1.6, seed=0):
     """Render a grayscale image of the landmark cloud as gaussian splats —
@@ -367,9 +477,9 @@ def project_points(scene: SyntheticScene, frame_indices, q_bc=None, p_bc=None,
         p_bc = np.zeros(3)
     q = scene.q_wb[frame_indices]
     p = scene.p_wb[frame_indices]
-    q_wc = np.asarray(lie.quat_mul(jnp.asarray(q), jnp.asarray(np.broadcast_to(q_bc, q.shape))))
-    p_wc = p + np.asarray(lie.quat_rotate(jnp.asarray(q), jnp.asarray(np.broadcast_to(p_bc, p.shape))))
-    R_cw = np.asarray(lie.quat_to_mat(lie.quat_conj(jnp.asarray(q_wc))))
+    q_wc = _np_quat_mul(q, np.broadcast_to(q_bc, q.shape))
+    p_wc = p + _np_quat_rotate(q, np.broadcast_to(p_bc, p.shape))
+    R_cw = _np_quat_to_mat(_np_quat_conj(q_wc))
     rel = scene.points[None, :, :] - p_wc[:, None, :]
     y = np.einsum("fij,flj->fli", R_cw, rel)
     z = y[..., 2]

@@ -1,0 +1,109 @@
+"""CLI runner: the role of the reference pvio-pc app (main.cpp:479-487):
+
+    python -m pvio_tpu.run <scheme://path | synthetic> <config.yaml> \
+        [--output trajectory.tum] [--max-frames N]
+
+Drives a dataset (or the built-in synthetic scene) through the PVIO
+engine, writes a TUM trajectory, and prints forensics timings. No GUI —
+forensics slots replace the NanoVis overlays.
+"""
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="pvio_tpu VIO runner")
+    ap.add_argument("dataset", help="euroc://path, tum://path, or 'synthetic'")
+    ap.add_argument("config", nargs="?", help="YAML config (reference schema)")
+    ap.add_argument("--output", default="trajectory.tum")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-planes", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from pvio_tpu import PVIO, Config
+    from pvio_tpu.io.tum_writer import TumTrajectoryWriter
+    from pvio_tpu.utils.forensics import bus
+
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    if args.no_planes:
+        cfg.enable_plane_constraint = False
+
+    if args.dataset == "synthetic":
+        from pvio_tpu.io import synthetic
+
+        cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
+        cfg.image_size = (320, 240)
+        cfg.sliding_window_size = 6
+        cfg.window_frame_capacity = 7
+        cfg.track_capacity = 128
+        cfg.initializer_keyframe_gap = 4
+        cfg.initializer_min_matches = 20
+        cfg.initializer_min_parallax = 5.0
+        cfg.initializer_min_triangulation = 15
+        cfg.initializer_min_landmarks = 15
+        cfg.keyframe_min_common_tracks = 20
+        cfg.keyframe_parallax_px = 25.0
+        scene = synthetic.make_scene(duration=4.0, n_points=320)
+        vio = PVIO(cfg)
+        n = 0
+        with TumTrajectoryWriter(args.output) as wtr:
+            fi = 0
+            for k in range(len(scene.imu_t)):
+                t = scene.imu_t[k]
+                vio.track_gyroscope(t, *scene.gyro[k])
+                vio.track_accelerometer(t, *scene.accel[k])
+                while fi < len(scene.frame_t) and scene.frame_t[fi] <= t:
+                    img = synthetic.render_frame(scene, fi, cfg.K, cfg.image_size)
+                    pose = vio.track_camera(scene.frame_t[fi], img)
+                    if pose is not None:
+                        wtr.write_pose(pose.t, pose.q, pose.p)
+                    fi += 1
+                    n += 1
+                    if args.max_frames and n >= args.max_frames:
+                        break
+                if args.max_frames and n >= args.max_frames:
+                    break
+        # report ATE against the generator's ground truth
+        traj = vio.get_trajectory()
+        if traj:
+            import jax.numpy as jnp
+
+            from pvio_tpu.geometry import wahba
+
+            t2idx = {round(tt, 6): i for i, tt in enumerate(scene.frame_t)}
+            est, gt = [], []
+            for (tt, q, p) in traj:
+                i = t2idx.get(round(tt, 6))
+                if i is not None:
+                    est.append(p)
+                    gt.append(scene.p_wb[i])
+            ate = float(wahba.ate_rmse(jnp.asarray(np.array(est)),
+                                       jnp.asarray(np.array(gt)),
+                                       with_scale=False))
+            print(f"ATE RMSE (SE3): {ate * 100:.2f} cm over {len(est)} poses")
+    else:
+        from pvio_tpu.io.datasets import open_dataset, run_dataset
+
+        vio = PVIO(cfg)
+        reader = open_dataset(args.dataset, cfg)
+        with TumTrajectoryWriter(args.output) as wtr:
+            run_dataset(vio, reader, wtr, max_frames=args.max_frames)
+
+    print(f"trajectory written to {args.output}")
+    print("forensics:", {k: (round(v, 4) if isinstance(v, float) else v)
+                         for k, v in bus.summary().items()
+                         if isinstance(v, (int, float))})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

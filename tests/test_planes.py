@@ -1,0 +1,239 @@
+"""Plane subsystem tests: detection, track flagging, plane factors in BA,
+merging, and the plane-aware PnP point substitution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pvio_tpu.core.host_window import HostWindow
+from pvio_tpu.core.kernels import DeviceKernels
+from pvio_tpu.core.plane_extractor import PlaneExtractor
+from pvio_tpu.estimation import ba, factors
+from pvio_tpu.io import synthetic
+from pvio_tpu.io.config import Config
+from pvio_tpu.map import window as win
+from pvio_tpu.map.window import TF_PLANE, TF_VALID
+
+
+def plane_config():
+    cfg = Config()
+    cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
+    cfg.image_size = (320, 240)
+    cfg.sliding_window_size = 6
+    cfg.window_frame_capacity = 7
+    cfg.track_capacity = 128
+    cfg.plane_capacity = 4
+    cfg.solver_iteration_limit = 8
+    cfg.dtype = "float64"
+    cfg.enable_plane_constraint = True
+    # the test camera's focal (200 px) is ~half EuRoC's; depth noise
+    # doubles, so scale the reference's 3 cm RANSAC gate accordingly
+    cfg.plane_ransac_threshold = 0.07
+    cfg.plane_min_inliers = 25
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def plane_scene():
+    return synthetic.make_scene(duration=3.0, fps=20.0, imu_rate=200.0,
+                                n_points=60, n_plane_points=130,
+                                plane_z=4.6, seed=648)
+
+
+def make_host_window(scene, cfg, kf):
+    """Ground-truth HostWindow with observations + valid depths."""
+    w_dev, extr, info = synthetic.solver_window_from_scene(
+        scene, kf, F_cap=cfg.window_frame_capacity, T_cap=cfg.track_capacity,
+        P_cap=cfg.plane_capacity, dtype=jnp.float64)
+    hw = HostWindow(cfg.window_frame_capacity, cfg.track_capacity,
+                    cfg.plane_capacity, np.float64)
+    hw.q = np.array(w_dev.q)
+    hw.p = np.array(w_dev.p)
+    hw.v = np.array(w_dev.v)
+    hw.frame_mask = np.array(w_dev.frame_mask)
+    hw.frame_t[: len(kf)] = scene.frame_t[kf]
+    hw.kp = np.array(w_dev.kp)
+    hw.obs_mask = np.array(w_dev.obs_mask)
+    hw.ref_frame = np.array(w_dev.ref_frame)
+    hw.track_mask = np.array(w_dev.track_mask)
+    hw.track_flags = np.array(w_dev.track_flags)
+    hw.inv_depth = np.array(w_dev.inv_depth)
+    hw.track_life = np.array(w_dev.obs_mask.sum(axis=0), np.int32)
+    hw.quality[:] = 0.1
+    return hw, extr, info
+
+
+def test_plane_detection_and_flagging(plane_scene):
+    cfg = plane_config()
+    kf = [0, 4, 8, 12, 16, 20]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    kern = DeviceKernels(cfg)
+    pe = PlaneExtractor(cfg, kern)
+    pe.update_map(hw)
+    assert hw.plane_mask.sum() == 1
+    s = int(np.nonzero(hw.plane_mask)[0][0])
+    n = hw.plane_normal[s]
+    sgn = np.sign(n[2]) or 1.0
+    assert np.allclose(sgn * n, [0, 0, 1.0], atol=0.02), n
+    assert abs(sgn * hw.plane_distance[s] - (4.6)) < 0.05
+    # the flagged tracks should be (mostly) true plane members
+    flagged = np.nonzero((hw.track_flags & TF_PLANE) != 0)[0]
+    assert len(flagged) >= 25
+    chosen = info["chosen"]
+    true_plane = np.array([plane_scene.plane_of_point[chosen[c]] == 0 for c in flagged])
+    assert true_plane.mean() > 0.9
+
+
+def test_plane_factor_zero_at_truth(plane_scene):
+    """Augmented plane residual vanishes for exact plane geometry."""
+    cfg = plane_config()
+    kf = [0, 4, 8, 12, 16]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    chosen = info["chosen"]
+    # pick a true plane track
+    cols = [c for c in range(info["n_tracks"])
+            if plane_scene.plane_of_point[chosen[c]] == 0
+            and hw.obs_mask[:, c].sum() >= 3]
+    c = cols[0]
+    obs = jnp.asarray(hw.obs_mask[:, c] & hw.frame_mask)
+    r = factors.augmented_plane_distance_residual(
+        jnp.asarray(hw.q), jnp.asarray(hw.p), jnp.asarray(hw.kp[:, c]),
+        obs, jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray(4.6), extr, 100.0,
+    )
+    assert abs(float(r)) < 1e-6
+
+
+def test_ba_with_plane_factors(plane_scene, rng):
+    """BA with the plane prior: plane tracks use the augmented factor; the
+    solve must converge and keep poses near truth."""
+    cfg = plane_config()
+    kf = [0, 4, 8, 12, 16, 20]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    kern = DeviceKernels(cfg)
+    pe = PlaneExtractor(cfg, kern)
+    pe.update_map(hw)
+    assert hw.plane_mask.sum() == 1
+    hw.fix_mask[0] = True
+
+    w = hw.to_device()
+    w = w._replace(delta_valid=jnp.zeros_like(w.delta_valid))  # vision-only
+    # perturb
+    F = w.q.shape[0]
+    from pvio_tpu.geometry import lie
+    # frames 0 and 1 are gauge-fixed below — they must stay at truth
+    # (perturbing a frozen frame leaves unremovable residual); stay inside
+    # the Cauchy inlier region of the whitened plane factor as the
+    # incremental pipeline does
+    zero01 = lambda x: x.at[0].set(0.0).at[1].set(0.0)
+    dq = zero01(jnp.asarray(rng.normal(size=(F, 3)) * 0.001))
+    dp = zero01(jnp.asarray(rng.normal(size=(F, 3)) * 0.003))
+    w_p = w._replace(
+        q=lie.quat_normalize(lie.quat_mul(w.q, lie.expmap(dq))),
+        p=w.p + dp,
+        fix_mask=w.fix_mask.at[1].set(True),
+    )
+    bacfg = ba.BAConfig(iterations=10, kp_sqrt_inv_cov=283.0,
+                        plane_sqrt_inv_cov=100.0, use_inertial=False,
+                        use_planes=True)
+    w2, out = ba.solve(w_p, extr, bacfg)
+    assert float(out["final_cost"]) < 0.05 * float(out["initial_cost"])
+    nkf = len(kf)
+    p_err = np.linalg.norm(np.asarray(w2.p - w.p)[:nkf], axis=-1)
+    assert p_err.max() < 2e-3, p_err
+    assert np.isfinite(np.asarray(w2.p)).all()
+
+
+def test_plane_merge(plane_scene):
+    cfg = plane_config()
+    kf = [0, 4, 8, 12, 16]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    kern = DeviceKernels(cfg)
+    pe = PlaneExtractor(cfg, kern)
+    pe.update_map(hw)
+    assert hw.plane_mask.sum() == 1
+    s = int(np.nonzero(hw.plane_mask)[0][0])
+    # forge a duplicate plane with half the members
+    dup = 1 if s != 1 else 2
+    hw.plane_mask[dup] = True
+    hw.plane_normal[dup] = hw.plane_normal[s] + 0.01
+    hw.plane_normal[dup] /= np.linalg.norm(hw.plane_normal[dup])
+    hw.plane_distance[dup] = hw.plane_distance[s] + 0.02
+    members = np.nonzero(hw.plane_id == s)[0]
+    hw.plane_id[members[::2]] = dup
+    pe.merge_planes(hw)
+    assert hw.plane_mask.sum() == 1
+    assert (hw.plane_id[members] == np.nonzero(hw.plane_mask)[0][0]).all()
+
+
+@pytest.mark.slow
+def test_pipeline_with_planes(plane_scene):
+    """Oracle-feature pipeline with the plane subsystem enabled: planes
+    must be detected during tracking and accuracy must hold."""
+    from pvio_tpu.core.frontend_worker import FrontendWorker
+    from pvio_tpu.core.plane_extractor import PlaneExtractor as PE
+    from pvio_tpu.geometry import wahba
+
+    cfg = plane_config()
+    cfg.initializer_keyframe_gap = 4
+    cfg.initializer_min_matches = 20
+    cfg.initializer_min_parallax = 5.0
+    cfg.initializer_min_triangulation = 15
+    cfg.initializer_min_landmarks = 15
+    cfg.keyframe_min_common_tracks = 20
+    cfg.keyframe_parallax_px = 25.0
+    cfg.feature_tracker_max_keypoint_detection = 120
+    scene = plane_scene
+    kern = DeviceKernels(cfg)
+    oracle = synthetic.OracleFeatureSource(
+        scene, cfg.K, cfg.image_size, max_keypoints=120, kp_noise_px=0.3)
+    fw = FrontendWorker(cfg, kern, oracle,
+                        plane_extractor_factory=lambda: PE(cfg, kern))
+    outputs = []
+    for fi in range(len(scene.frame_t)):
+        t = scene.frame_t[fi]
+        sel = (scene.imu_t <= t) if fi == 0 else (
+            (scene.imu_t >= scene.frame_t[fi - 1]) & (scene.imu_t < t))
+        rf = oracle.make_frame(fi, fi, scene.imu_t[sel], scene.gyro[sel],
+                               scene.accel[sel])
+        st = fw.issue_frame(rf)
+        if st is not None:
+            outputs.append((st[0], st[2].copy()))
+    assert fw.initialized and fw.n_reinits == 0
+    hw = fw.swt.hw
+    assert hw.plane_mask.sum() >= 1, "no plane detected during tracking"
+    s = int(np.nonzero(hw.plane_mask)[0][0])
+    n = hw.plane_normal[s] * (np.sign(hw.plane_normal[s][2]) or 1.0)
+    assert abs(n[2]) > 0.98, n
+    n_plane_tracks = int(((hw.track_flags & TF_PLANE) != 0).sum())
+    assert n_plane_tracks >= 10
+    # accuracy with plane factors active
+    t2idx = {round(t, 6): i for i, t in enumerate(scene.frame_t)}
+    est, gt = [], []
+    for (t, p) in outputs:
+        i = t2idx.get(round(t, 6))
+        if i is not None:
+            est.append(p)
+            gt.append(scene.p_wb[i])
+    ate = float(wahba.ate_rmse(jnp.asarray(np.array(est)),
+                               jnp.asarray(np.array(gt)), with_scale=False))
+    assert ate < 0.15, f"ATE {ate} m"
+
+
+def test_plane_track_points_for_pnp(plane_scene):
+    cfg = plane_config()
+    kf = [0, 4, 8, 12, 16]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    kern = DeviceKernels(cfg)
+    pe = PlaneExtractor(cfg, kern)
+    pe.update_map(hw)
+    w = hw.to_device()
+    x0 = kern.landmarks(w)
+    x1 = pe.plane_track_points(w, x0)
+    is_plane = (np.array(w.track_flags) & TF_PLANE) != 0
+    # plane tracks: substituted point lies on the plane
+    s = int(np.nonzero(hw.plane_mask)[0][0])
+    d = np.einsum("ti,i->t", np.asarray(x1), hw.plane_normal[s]) - hw.plane_distance[s]
+    assert np.abs(d[is_plane]).max() < 1e-6
+    # non-plane tracks unchanged
+    assert np.allclose(np.asarray(x1)[~is_plane], np.asarray(x0)[~is_plane])
