@@ -127,6 +127,26 @@ class SlidingWindowTracker:
             forensics.set("sliding_window_landmarks",
                           int(((hw.track_flags & (TF_VALID | TF_PLANE)) != 0).sum()))
             forensics.set("sliding_window_planes", int(hw.plane_mask.sum()))
+            # full-state emission for host visualizers
+            # (sliding_window_tracker.cpp:138-245 emits landmark clouds,
+            # plane states and keyframe poses into forensics slots)
+            if forensics.enabled:
+                live = hw.track_mask & (
+                    (hw.track_flags & (TF_VALID | TF_PLANE)) != 0)
+                xw = np.asarray(jax.device_get(self.k.landmarks(w)))
+                forensics.set("sliding_window_landmark_points", xw[live])
+                forensics.set(
+                    "sliding_window_keyframe_poses",
+                    [(float(hw.frame_t[i]), hw.q[i].copy(), hw.p[i].copy())
+                     for i in range(hw.n_frames)],
+                )
+                forensics.set(
+                    "sliding_window_plane_states",
+                    [(hw.plane_normal[j].copy(), float(hw.plane_distance[j]))
+                     for j in np.nonzero(hw.plane_mask)[0]],
+                )
+                forensics.set("imu_bias_gyroscope", hw.bg[hw.n_frames - 1].copy())
+                forensics.set("imu_bias_accelerometer", hw.ba[hw.n_frames - 1].copy())
         else:
             # replace tail: merge the IMU span (:115-121)
             merged_ts = np.concatenate([hw.imu_ts[tail], raw_new.imu_ts])

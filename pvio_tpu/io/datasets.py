@@ -112,10 +112,19 @@ def open_dataset(url, config=None):
         return EurocDatasetReader(path, und)
     if scheme == "tum":
         return TumDatasetReader(path, und)
+    if scheme == "sensors":
+        from pvio_tpu.io.sensors_log import SensorsDatasetReader
+
+        return SensorsDatasetReader(path, und)
+    if scheme == "legacy-sensors":
+        from pvio_tpu.io.sensors_log import LegacySensorsDatasetReader
+
+        return LegacySensorsDatasetReader(path, und)
     raise ValueError(f"unknown dataset scheme {scheme!r}")
 
 
-def run_dataset(vio, reader, output_writer=None, max_frames=None):
+def run_dataset(vio, reader, output_writer=None, max_frames=None,
+                on_frame=None):
     """Drive a PVIO engine from a dataset stream (pvio-pc main.cpp role).
     Returns the trajectory [(t, q, p)]."""
     n = 0
@@ -128,6 +137,8 @@ def run_dataset(vio, reader, output_writer=None, max_frames=None):
             pose = vio.track_camera(t, payload)
             if pose is not None and output_writer is not None:
                 output_writer.write_pose(pose.t, pose.q, pose.p)
+            if on_frame is not None:
+                on_frame(t)
             n += 1
             if max_frames is not None and n >= max_frames:
                 break

@@ -20,6 +20,8 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="render the forensics dashboard to this file")
     args = ap.parse_args(argv)
 
     import jax
@@ -36,6 +38,12 @@ def main(argv=None):
     cfg = Config.from_yaml(args.config) if args.config else Config()
     if args.no_planes:
         cfg.enable_plane_constraint = False
+
+    recorder = None
+    if args.plot:
+        from pvio_tpu.io.visualizer import HistoryRecorder
+
+        recorder = HistoryRecorder(bus)
 
     if args.dataset == "synthetic":
         from pvio_tpu.io import synthetic
@@ -66,6 +74,8 @@ def main(argv=None):
                     pose = vio.track_camera(scene.frame_t[fi], img)
                     if pose is not None:
                         wtr.write_pose(pose.t, pose.q, pose.p)
+                    if recorder is not None:
+                        recorder.sample(scene.frame_t[fi])
                     fi += 1
                     n += 1
                     if args.max_frames and n >= args.max_frames:
@@ -96,7 +106,16 @@ def main(argv=None):
         vio = PVIO(cfg)
         reader = open_dataset(args.dataset, cfg)
         with TumTrajectoryWriter(args.output) as wtr:
-            run_dataset(vio, reader, wtr, max_frames=args.max_frames)
+            run_dataset(vio, reader, wtr, max_frames=args.max_frames,
+                        on_frame=(recorder.sample if recorder else None))
+
+    if args.plot:
+        from pvio_tpu.io.visualizer import render_dashboard
+
+        render_dashboard(args.plot, trajectory=vio.get_trajectory(),
+                         history=recorder, bus=bus,
+                         title=f"pvio_tpu — {args.dataset}")
+        print(f"dashboard written to {args.plot}")
 
     print(f"trajectory written to {args.output}")
     print("forensics:", {k: (round(v, 4) if isinstance(v, float) else v)

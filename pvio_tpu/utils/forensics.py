@@ -27,6 +27,11 @@ ITEMS = (
     "sliding_window_keyframe_poses",
     "feature_tracker_painter",
     "solver_info",
+    # full-state slots for host visualizers (beyond-reference richness)
+    "sliding_window_landmark_points",
+    "sliding_window_plane_states",
+    "imu_bias_gyroscope",
+    "imu_bias_accelerometer",
 )
 
 

@@ -119,3 +119,91 @@ def test_euroc_reader_stream_order(tmp_path):
     cam_events = [e for e in events if e[0] == "camera"]
     assert cam_events[0][2].shape == (240, 320)
     assert 0.0 <= cam_events[0][2].max() <= 1.0
+
+
+def test_sensors_log_roundtrip_and_dispatch_order(tmp_path):
+    """PVSN stream round-trip: chunked parse reassembles records across
+    8192-byte boundaries; dispatch follows the reference's tie-breaks
+    (sensors_dataset_reader.cpp:62-99)."""
+    from pvio_tpu.io import sensors_log
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "log.pvsn"
+    events = []
+    t = 0.0
+    imgs = []
+    with sensors_log.SensorsLogWriter(path) as wtr:
+        for i in range(40):
+            t += 0.005
+            w = rng.normal(size=3)
+            a = rng.normal(size=3)
+            # gyro & accel share timestamps: accel must win the tie
+            wtr.put_gyroscope(t, w)
+            wtr.put_accelerometer(t, a)
+            events.append(("accelerometer", t, a))
+            events.append(("gyroscope", t, w))
+            if i % 10 == 0:
+                img = rng.integers(0, 256, size=(120, 160), dtype=np.uint8)
+                wtr.put_image(t, img)
+                imgs.append(img)
+                events.append(("camera", t, img))
+    reader = sensors_log.SensorsDatasetReader(path)
+    got = list(reader)
+    assert [e[0] for e in got] == [e[0] for e in events]
+    ts = [e[1] for e in got]
+    assert ts == sorted(ts)
+    for (gk, gt, gp), (ek, et, ep) in zip(got, events):
+        if gk == "camera":
+            np.testing.assert_allclose(gp, ep.astype(np.float32) / 255.0)
+        else:
+            np.testing.assert_allclose(gp, ep, atol=1e-12)
+
+
+def test_legacy_sensors_accel_scaled(tmp_path):
+    """Legacy variant scales accel by GRAVITY_NOMINAL
+    (legacy_sensors_dataset_reader.cpp:43)."""
+    from pvio_tpu.io import sensors_log
+
+    path = tmp_path / "legacy.pvsn"
+    with sensors_log.SensorsLogWriter(path) as wtr:
+        wtr.put_accelerometer(1.0, (0.0, 0.0, -1.0))
+    got = list(sensors_log.LegacySensorsDatasetReader(path))
+    assert got[0][0] == "accelerometer"
+    np.testing.assert_allclose(got[0][2], (0.0, 0.0, 9.80665), atol=1e-12)
+
+
+def test_sensors_scheme_dispatch(tmp_path):
+    from pvio_tpu.io import sensors_log
+
+    path = tmp_path / "s.pvsn"
+    with sensors_log.SensorsLogWriter(path) as wtr:
+        wtr.put_gyroscope(0.5, (1.0, 2.0, 3.0))
+    reader = open_dataset(f"sensors://{path}")
+    assert [e[0] for e in reader] == ["gyroscope"]
+
+
+def test_visualizer_dashboard_renders(tmp_path):
+    """Dashboard renders a PNG from a recorder + bus snapshot (the
+    reference GUI role, main.cpp:87-470, headless)."""
+    from pvio_tpu.io import visualizer
+    from pvio_tpu.utils.forensics import Forensics
+
+    rng = np.random.default_rng(1)
+    bus = Forensics()
+    bus.set("sliding_window_landmark_points", rng.normal(size=(50, 3)))
+    bus.set("sliding_window_plane_states",
+            [(np.array([0.0, 0.0, 1.0]), 1.5)])
+    rec = visualizer.HistoryRecorder(bus)
+    for i in range(10):
+        bus.push_time("feature_tracker_time", 0.004 + 0.001 * (i % 3))
+        bus.push_time("bundle_adjustor_solve_time", 0.02)
+        bus.set("camera_input_rate", 20.0)
+        bus.set("sliding_window_landmarks", 40 + i)
+        bus.set("imu_bias_gyroscope", rng.normal(size=3) * 1e-3)
+        bus.set("imu_bias_accelerometer", rng.normal(size=3) * 1e-2)
+        rec.sample(0.05 * i)
+    traj = [(0.05 * i, np.array([1.0, 0, 0, 0]), np.array([0.1 * i, 0.0, 0.0]))
+            for i in range(10)]
+    out = visualizer.render_dashboard(tmp_path / "dash.png", trajectory=traj,
+                                      history=rec, bus=bus)
+    assert (tmp_path / "dash.png").stat().st_size > 10_000
