@@ -67,7 +67,10 @@ class BAConfig(NamedTuple):
 # factor masks
 # ----------------------------------------------------------------------------
 
-def _factor_masks(w: WindowState, cfg: BAConfig):
+def _factor_masks(w: WindowState, cfg: BAConfig, tp_axis=None):
+    """tp_axis: mapped-axis name when tracks are sharded across devices —
+    the plane member count (a cross-track statistic gating the augmented
+    plane factor, bundle_adjustor.cpp:162) must then be psum'd globally."""
     F, T = w.kp.shape[0], w.kp.shape[1]
     P = w.plane_mask.shape[0]
     is_valid = (w.track_flags & TF_VALID) != 0
@@ -77,6 +80,8 @@ def _factor_masks(w: WindowState, cfg: BAConfig):
         pid = jnp.clip(w.plane_id, 0, P - 1)
         member = w.track_mask & is_plane & (w.plane_id >= 0)
         counts = jnp.zeros(P, jnp.int32).at[pid].add(member.astype(jnp.int32) * 1)
+        if tp_axis is not None:
+            counts = jax.lax.psum(counts, tp_axis)
         plane_big = (counts >= cfg.min_plane_tracks) & w.plane_mask
         big_track = member & plane_big[pid]
     else:
@@ -164,10 +169,11 @@ def _gather_track_inputs(w: WindowState):
     return q_ref, p_ref, z_ref
 
 
-def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig):
+def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig,
+                  tp_axis=None):
     """Total robustified cost at the current state (no Jacobians)."""
     dtype = w.p.dtype
-    repro_mask, depth_active, plane_track = _factor_masks(w, cfg)
+    repro_mask, depth_active, plane_track = _factor_masks(w, cfg, tp_axis)
     q_ref, p_ref, z_ref = _gather_track_inputs(w)
     sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
 
@@ -219,10 +225,10 @@ def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig):
 # linearization: build (Hpp, Hpd, Hdd, bp, bd)
 # ----------------------------------------------------------------------------
 
-def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig):
+def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
     F, T = w.kp.shape[0], w.kp.shape[1]
     dtype = w.p.dtype
-    repro_mask, depth_active, plane_track = _factor_masks(w, cfg)
+    repro_mask, depth_active, plane_track = _factor_masks(w, cfg, tp_axis)
     q_ref, p_ref, z_ref = _gather_track_inputs(w)
     sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
 

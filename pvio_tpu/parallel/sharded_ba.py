@@ -55,14 +55,16 @@ def _lm_step_sharded(w: WindowState, lam, extr, cfg, tp_axis):
     dtype = w.p.dtype
 
     def total_cost(wx):
-        c_local = ba_mod.evaluate_cost(wx, extr, cfg)
+        c_local = ba_mod.evaluate_cost(wx, extr, cfg, tp_axis=tp_axis)
         w0 = wx._replace(track_mask=jnp.zeros_like(wx.track_mask))
-        c_frame = ba_mod.evaluate_cost(w0, extr, cfg)
+        c_frame = ba_mod.evaluate_cost(w0, extr, cfg, tp_axis=tp_axis)
         return c_frame + jax.lax.psum(c_local - c_frame, tp_axis)
 
-    Hpp, Hpd, Hdd, bp, bd, depth_active, cost_local = ba_mod.linearize(w, extr, cfg)
+    Hpp, Hpd, Hdd, bp, bd, depth_active, cost_local = ba_mod.linearize(
+        w, extr, cfg, tp_axis=tp_axis)
     w0 = w._replace(track_mask=jnp.zeros_like(w.track_mask))
-    Hpp_f, _, _, bp_f, _, _, cost_f = ba_mod.linearize(w0, extr, cfg)
+    Hpp_f, _, _, bp_f, _, _, cost_f = ba_mod.linearize(
+        w0, extr, cfg, tp_axis=tp_axis)
     # global frame-state system: frame factors once + track parts reduced
     Hpp_g = Hpp_f + jax.lax.psum(Hpp - Hpp_f, tp_axis)
     bp_g = bp_f + jax.lax.psum(bp - bp_f, tp_axis)
@@ -101,8 +103,12 @@ def make_sharded_solver(mesh: Mesh, extr: Extrinsics, cfg: ba_mod.BAConfig,
 
     Input: a batched WindowState (leading dim B divisible by mesh.shape[dp];
     track capacity divisible by mesh.shape[tp]). Returns (windows, costs).
+
+    Plane factors shard cleanly over tp: each augmented plane residual
+    touches only its own track's observation column (plane params are
+    replicated); the one cross-track statistic — the per-plane member
+    count gating factor selection — is psum'd inside _factor_masks.
     """
-    assert not cfg.use_planes, "plane factors not yet sharded over tp"
     specs = window_pspecs(dp, tp)
 
     def solve_one(w):
