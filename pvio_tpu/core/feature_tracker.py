@@ -17,8 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pvio_tpu.geometry import lie
-
 
 @dataclass
 class RawFrame:
@@ -53,31 +51,45 @@ class FeatureTracker:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    @staticmethod
+    def _np_quat_mul(a, b):
+        w = a[0] * b[0] - a[1] * b[1] - a[2] * b[2] - a[3] * b[3]
+        x = a[0] * b[1] + a[1] * b[0] + a[2] * b[3] - a[3] * b[2]
+        y = a[0] * b[2] - a[1] * b[3] + a[2] * b[0] + a[3] * b[1]
+        z = a[0] * b[3] + a[1] * b[2] - a[2] * b[1] + a[3] * b[0]
+        return np.array([w, x, y, z])
+
     def _interframe_camera_rotation(self, imu_ts, imu_w, t_prev, t_new):
         """Integrate raw gyro over (t_prev, t_new] -> camera-frame dq
-        (frame.cpp:97-103 uses the preintegrated dq through extrinsics)."""
+        (frame.cpp:97-103 uses the preintegrated dq through extrinsics).
+        Pure numpy: ~10 samples of 4-vector math per frame must not cost
+        device dispatches."""
         if len(imu_ts) == 0:
             return np.array([1.0, 0, 0, 0])
         q = np.array([1.0, 0, 0, 0])
         ts = np.concatenate([imu_ts, [t_new]])
         for i in range(len(imu_ts)):
             dt = max(ts[i + 1] - ts[i], 0.0)
-            q = np.array(lie.quat_mul(jnp.asarray(q), lie.expmap(jnp.asarray(imu_w[i] * dt))))
+            half = 0.5 * np.asarray(imu_w[i]) * dt
+            n = np.linalg.norm(half)
+            dq = (np.concatenate([[np.cos(n)], half * (np.sin(n) / n)])
+                  if n > 1e-12 else np.array([1.0, half[0], half[1], half[2]]))
+            q = self._np_quat_mul(q, dq)
         q /= np.linalg.norm(q)
         # body dq -> camera dq: q_cam = q_bc^-1 * q * q_bc
-        qbc = jnp.asarray(self._q_bc)
-        qc = lie.quat_mul(lie.quat_mul(lie.quat_conj(qbc), jnp.asarray(q)), qbc)
-        return np.array(qc)
+        qbc = np.asarray(self._q_bc)
+        qbc_inv = qbc * np.array([1.0, -1, -1, -1])
+        qc = self._np_quat_mul(self._np_quat_mul(qbc_inv, q), qbc)
+        return qc / np.linalg.norm(qc)
 
     def track_frame(self, frame_id, t, img, imu_ts, imu_w, imu_a):
         """Process one camera frame; returns the new RawFrame."""
         cfg = self.cfg
         Kmax = cfg.feature_tracker_max_keypoint_detection
-        pyr = self.k.preprocess(jnp.asarray(img))
 
         if not self.frames:
-            kp, mask = self.k.detect(pyr[0], jnp.zeros((1, 2), self.k.dtype),
-                                     jnp.zeros(1, bool))
+            # fused preprocess + detect: one device dispatch
+            pyr, kp, mask = self.k.first_frame_step(jnp.asarray(img))
             kp = np.array(kp)
             mask = np.array(mask)
             ids = -np.ones(Kmax, np.int64)
@@ -89,28 +101,22 @@ class FeatureTracker:
             prev = self.frames[-1]
             kp_prev = jnp.asarray(prev.kp, self.k.dtype)
             mask_prev = jnp.asarray(prev.kp_mask)
-            if cfg.feature_tracker_predict_keypoints:
-                dq_cam = self._interframe_camera_rotation(imu_ts, imu_w, prev.t, t)
-                guess = self.k.predict_kp(kp_prev, mask_prev, jnp.asarray(dq_cam, self.k.dtype))
-            else:
-                guess = kp_prev
-            kp_new, status = self.k.track(self.prev_pyramid, pyr, kp_prev, guess, mask_prev)
+            dq_cam = (self._interframe_camera_rotation(imu_ts, imu_w, prev.t, t)
+                      if cfg.feature_tracker_predict_keypoints
+                      else np.array([1.0, 0, 0, 0]))
+            # fused preprocess + predicted flow + KLT + F-gate + detect:
+            # one device dispatch per frame
+            pyr, kp_new, status, det_kp, det_mask = self.k.frame_step(
+                self.prev_pyramid, jnp.asarray(img), kp_prev, mask_prev,
+                jnp.asarray(dq_cam, self.k.dtype), self._next_key(),
+            )
             status_np = np.array(status)
             kp_new_np = np.array(kp_new)
-            # fundamental-matrix outlier gate (opencv_image.cpp:121-129)
-            if status_np.sum() >= 8:
-                inl, count = self.k.fransac(self._next_key(), kp_prev, kp_new, status)
-                if int(count) >= 8:
-                    status_np &= np.array(inl)
             ids = np.where(status_np, prev.track_ids, -1)
             for tid in prev.track_ids[prev.kp_mask & ~status_np]:
                 self.track_len.pop(int(tid), None)
 
-            # detect new keypoints away from surviving tracks
             n_alive = int(status_np.sum())
-            det_kp, det_mask = self.k.detect(
-                pyr[0], jnp.asarray(kp_new_np, self.k.dtype), jnp.asarray(status_np)
-            )
             det_kp = np.array(det_kp)
             det_mask = np.array(det_mask)
             # merge: keep tracked in place, fill free rows with detections

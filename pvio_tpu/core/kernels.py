@@ -103,9 +103,7 @@ class DeviceKernels:
 
         self.fransac = jax.jit(fransac)
 
-        def predict_kp(kp, mask, dq_cam):
-            """Gyro-predicted initial flow (frame.cpp:97-103): rotate the
-            bearing by the inter-frame camera rotation."""
+        def predict_kp_(kp, mask, dq_cam):
             z = camera.remove_k(kp, K)
             b = jnp.concatenate([z, jnp.ones_like(z[..., :1])], axis=-1)
             b2 = lie.quat_rotate(lie.quat_conj(dq_cam)[None, :], b)
@@ -113,7 +111,46 @@ class DeviceKernels:
             out = camera.apply_k(b2[..., :2] / zs, K)
             return jnp.where(mask[:, None], out, kp)
 
-        self.predict_kp = jax.jit(predict_kp)
+        def frame_step(pyr_prev, img_next, kp_prev, mask_prev, dq_cam, key):
+            """Fused per-frame frontend: preprocess + gyro-predicted
+            initial flow + pyramidal KLT + F-RANSAC gate + detection, one
+            device dispatch (the reference does all of this inside
+            FeatureTracker::work, feature_tracker.cpp:37-141; splitting it
+            into per-op dispatches wastes launch latency)."""
+            pyr_next = preprocess(img_next)
+            if cfg.feature_tracker_predict_keypoints:
+                guess = predict_kp_(kp_prev, mask_prev, dq_cam)
+            else:
+                guess = kp_prev
+            kp_new, status = klt_mod.track_keypoints(
+                list(pyr_prev), list(pyr_next), kp_prev, guess, mask_prev,
+                border=20.0,
+            )
+            # fundamental-matrix outlier gate (opencv_image.cpp:121-129):
+            # applied only when >=8 tracked survivors and >=8 inliers
+            _, inl, count = ransac_mod.find_fundamental(
+                key, kp_prev, kp_new, status, threshold=1.0
+            )
+            gate_on = (jnp.sum(status) >= 8) & (count >= 8)
+            status = jnp.where(gate_on, status & inl, status)
+            det_kp, det_mask = detect(pyr_next[0], kp_new, status)
+            return pyr_next, kp_new, status, det_kp, det_mask
+
+        self.frame_step = jax.jit(frame_step)
+
+        def first_frame_step(img):
+            """Fused first-frame frontend: preprocess + detection."""
+            pyr = preprocess(img)
+            det_kp, det_mask = detect(
+                pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros(1, bool)
+            )
+            return pyr, det_kp, det_mask
+
+        self.first_frame_step = jax.jit(first_frame_step)
+
+        # gyro-predicted initial flow (frame.cpp:97-103): rotate the
+        # bearing by the inter-frame camera rotation
+        self.predict_kp = jax.jit(predict_kp_)
 
         def remove_k(kp):
             return camera.remove_k(kp, K)

@@ -47,6 +47,7 @@ def detect_keypoints(
     existing_mask=None,
     border=20,
     quality_level=1e-3,
+    min_response=1e-8,
     num_candidates=1024,
 ):
     """Detect up to `max_keypoints` corners with Poisson-disk spacing.
@@ -84,8 +85,10 @@ def detect_keypoints(
     dx = jnp.clip(dx, -0.5, 0.5)
     dy = jnp.clip(dy, -0.5, 0.5)
     cand = jnp.stack([ix.astype(dtype) + dx, iy.astype(dtype) + dy], axis=-1)  # (C, 2)
-    # GFTT quality gate relative to best response
-    alive = scores > jnp.maximum(scores[0] * quality_level, 0.0)
+    # GFTT quality gate relative to best response, with an absolute floor:
+    # on a (near-)uniform image the best response is float noise (~1e-17),
+    # and a purely relative gate would admit arbitrary non-corners
+    alive = scores > jnp.maximum(scores[0] * quality_level, min_response)
     alive = alive & jnp.isfinite(scores)
 
     d2 = min_distance * min_distance

@@ -241,9 +241,32 @@ def _track_level_slices(img_prev, img_next, kp_prev, guess, iters, half, dtype):
     return jax.vmap(one)(kp_prev, guess)
 
 
+def min_eig_response(img, kp, half):
+    """Per-keypoint min eigenvalue of the patch spatial-gradient matrix,
+    normalized per pixel — the OpenCV LK `minEigThreshold` quantity: flat
+    or 1-D-textured patches are untrackable even when the photometric
+    residual happens to be small (e.g. a uniform scene), so their tracks
+    must be rejected (opencv_image.cpp:88-136 relies on this gate inside
+    cv::calcOpticalFlowPyrLK)."""
+
+    def one(p):
+        cx, cy = p[0], p[1]
+        gx = (_sample_patch(img, cx + 0.5, cy, half)
+              - _sample_patch(img, cx - 0.5, cy, half))
+        gy = (_sample_patch(img, cx, cy + 0.5, half)
+              - _sample_patch(img, cx, cy - 0.5, half))
+        a = jnp.sum(gx * gx)
+        b = jnp.sum(gx * gy)
+        c = jnp.sum(gy * gy)
+        return 0.5 * ((a + c) - jnp.sqrt((a - c) ** 2 + 4.0 * b * b))
+
+    P = 2 * half + 1
+    return jax.vmap(one)(kp) / (P * P)
+
+
 def track_keypoints(
     pyr_prev, pyr_next, kp_prev, kp_init, mask,
-    patch=21, iters=10, max_error=0.08, border=20.0,
+    patch=21, iters=10, max_error=0.08, border=20.0, min_eig=1e-6,
 ):
     """Track keypoints from the previous to the next image.
 
@@ -253,8 +276,10 @@ def track_keypoints(
     mask (K,) input validity.
 
     Returns (kp_next (K, 2), status (K,) bool). Status clears on
-    divergence (residual > max_error) or leaving the border margin
-    (opencv_image.cpp:110-120).
+    divergence (residual > max_error), leaving the border margin
+    (opencv_image.cpp:110-120), or an untrackable (flat/1-D) source patch
+    (min_eig, the cv::calcOpticalFlowPyrLK minEigThreshold role; measured
+    margins: textured corners >= 4e-5 after CLAHE, uniform frames < 1e-16).
     """
     dtype = kp_prev.dtype
     half = patch // 2
@@ -279,5 +304,15 @@ def track_keypoints(
         & (kp_next[:, 1] >= border)
         & (kp_next[:, 1] < H - border)
     )
-    status = mask & inb & (err < max_error) & jnp.all(jnp.isfinite(kp_next), axis=-1)
+    # trackability gate on BOTH endpoints: the source patch must be a
+    # corner (cv::calcOpticalFlowPyrLK minEigThreshold) and the landing
+    # patch must carry texture too — LK "converges" anywhere on a
+    # textureless destination (template-gradient iterations), with a small
+    # residual whenever the source patch is low-contrast
+    finite = jnp.all(jnp.isfinite(kp_next), axis=-1)
+    lam_p = min_eig_response(pyr_prev[0], kp_prev, half)
+    kp_n = jnp.where(finite[:, None], kp_next, kp_prev)
+    lam_n = min_eig_response(pyr_next[0], kp_n, half)
+    status = (mask & inb & (err < max_error) & finite
+              & (lam_p > min_eig) & (lam_n > min_eig))
     return kp_next, status

@@ -242,5 +242,10 @@ def track_keypoints(pyr_prev, pyr_next, kp_prev, kp_init, mask,
         (kp_next[:, 0] >= border) & (kp_next[:, 0] < W - border)
         & (kp_next[:, 1] >= border) & (kp_next[:, 1] < H - border)
     )
-    status = ok & inb & (err < max_error) & jnp.all(jnp.isfinite(kp_next), axis=-1)
+    finite = jnp.all(jnp.isfinite(kp_next), axis=-1)
+    lam_p = klt_ref.min_eig_response(pyr_prev[0], kp_prev, HALF)
+    kp_n = jnp.where(finite[:, None], kp_next, kp_prev)
+    lam_n = klt_ref.min_eig_response(pyr_next[0], kp_n, HALF)
+    status = (ok & inb & (err < max_error) & finite
+              & (lam_p > 1e-6) & (lam_n > 1e-6))
     return kp_next, status

@@ -132,3 +132,55 @@ def test_image_pipeline_functional():
     # blob imagery degrades late in the sequence (KLT drift), so gate on
     # the best map population seen during the run, not the final frame
     assert max_map_points > 10, max_map_points
+
+
+@pytest.mark.slow
+def test_pipeline_determinism():
+    """Determinism by construction (SURVEY §4): fixed seeds + inline
+    workers + fixed-budget RANSAC => two identical runs produce
+    bit-identical trajectories (golden-regression precondition)."""
+    cfg = small_config()
+    scene = synthetic.make_scene(duration=2.5, fps=20.0, imu_rate=200.0,
+                                 n_points=320, seed=648)
+    _, out1 = run_oracle(cfg, scene, kp_noise_px=0.3)
+    _, out2 = run_oracle(cfg, scene, kp_noise_px=0.3)
+    assert len(out1) == len(out2) and len(out1) > 10
+    for (t1, p1), (t2, p2) in zip(out1, out2):
+        assert t1 == t2
+        np.testing.assert_array_equal(p1, p2)
+
+
+@pytest.mark.slow
+def test_tracking_loss_reinit_and_recovery():
+    """BASELINE config-3 behavior: occlude the camera mid-sequence (black
+    frames kill every track), the frontend must fall back to a fresh
+    Initializer (frontend_worker.cpp:71-77) and then re-initialize and
+    resume producing poses."""
+    cfg = small_config()
+    scene = synthetic.make_scene(duration=6.0, fps=20.0, imu_rate=200.0,
+                                 n_points=320, seed=648)
+    vio = PVIO(cfg)
+    K = cfg.K
+    n_frames = len(scene.frame_t)
+    blackout = range(45, 52)  # ~0.35 s occlusion after init settles
+    fi = 0
+    post_recovery_poses = 0
+    for k in range(len(scene.imu_t)):
+        t = scene.imu_t[k]
+        vio.track_gyroscope(t, *scene.gyro[k])
+        vio.track_accelerometer(t, *scene.accel[k])
+        while fi < n_frames and scene.frame_t[fi] <= t:
+            if fi in blackout:
+                img = np.zeros((cfg.image_size[1], cfg.image_size[0]),
+                               np.float32)
+            else:
+                img = synthetic.render_frame(scene, fi, K, cfg.image_size)
+            pose = vio.track_camera(scene.frame_t[fi], img)
+            if fi > blackout.stop and pose is not None and vio.initialized:
+                post_recovery_poses += 1
+            fi += 1
+    assert vio.core.frontend.n_reinits >= 1
+    assert vio.initialized, "must re-initialize after the blackout"
+    assert post_recovery_poses >= 20
+    st = vio.get_latest_state()
+    assert st is not None and np.isfinite(st.p).all()
