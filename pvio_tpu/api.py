@@ -54,6 +54,10 @@ class PVIO:
         if enable_planes is not None:
             config.enable_plane_constraint = enable_planes
         self.config = config
+        self._build_core()
+
+    def _build_core(self):
+        config = self.config
         if config.enable_plane_constraint:
             from pvio_tpu.core.plane_extractor import PlaneExtractor
 
@@ -61,6 +65,14 @@ class PVIO:
         else:
             factory = None
         self.core = Core(config, plane_extractor_factory=factory)
+
+    def reset(self):
+        """Drop all estimator state and restart from scratch — the
+        reference's recovery path does the same swap to a fresh
+        Initializer (frontend_worker.cpp:71-77). Compiled device kernels
+        are reused through the DeviceKernels cache, so a reset (or a new
+        engine on the same config) costs no recompilation."""
+        self._build_core()
 
     # --- sensor entry points (pvio.cpp:29-39) ---
     def track_gyroscope(self, t, x, y, z) -> Optional[OutputPose]:

@@ -50,7 +50,7 @@ def _propagate(q, p, v, bg, ba, t0, ts, ws, accs):
 class Core:
     def __init__(self, config, plane_extractor_factory=None, use_native=True):
         self.cfg = config
-        self.kernels = DeviceKernels(config)
+        self.kernels = DeviceKernels.get(config)
         self.feature_tracker = FeatureTracker(config, self.kernels)
         self.frontend = FrontendWorker(config, self.kernels, self.feature_tracker,
                                        plane_extractor_factory)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pvio_tpu.utils.forensics import bus as forensics
+
 
 @dataclass
 class RawFrame:
@@ -134,6 +136,18 @@ class FeatureTracker:
             rf = RawFrame(frame_id, t, kp, mask, ids,
                           np.asarray(imu_ts), np.asarray(imu_w), np.asarray(imu_a))
 
+        if forensics.enabled:
+            # painter snapshot (forensics.h:30-38 ForensicsPainter role):
+            # enough to draw tracked features + optical-flow segments on
+            # the raw image without re-entering the pipeline
+            prev_kp = (self.frames[-1].kp if self.frames else None)
+            tracked = (status_np if self.frames else np.zeros(Kmax, bool))
+            forensics.set("feature_tracker_painter", {
+                "frame_id": frame_id, "t": t, "image": np.asarray(img),
+                "kp": rf.kp.copy(), "mask": rf.kp_mask.copy(),
+                "tracked": tracked.copy(),
+                "prev_kp": (None if prev_kp is None else prev_kp.copy()),
+            })
         self.frames.append(rf)
         self.prev_pyramid = pyr
         limit = (self.cfg.feature_tracker_max_frames if self.initialized

@@ -25,7 +25,56 @@ from pvio_tpu.imu import preintegration as pre
 from pvio_tpu.map import window as win
 
 
+_KERNEL_CACHE = {}
+
+
+def _kernel_cache_key(config):
+    """Canonical tuple of every config value baked into the jitted
+    closures. Two Configs with equal keys can share one DeviceKernels
+    (and therefore every compiled executable)."""
+
+    def h(a):
+        return np.asarray(a, np.float64).tobytes()
+
+    return (
+        config.dtype,
+        bool(config.feature_tracker_clahe),
+        int(config.feature_tracker_max_keypoint_detection),
+        float(config.feature_tracker_min_keypoint_distance),
+        bool(config.feature_tracker_predict_keypoints),
+        int(config.solver_iteration_limit),
+        bool(config.enable_plane_constraint),
+        float(config.plane_distance_cov),
+        int(config.plane_min_tracks),
+        int(config.imu_buffer_capacity),
+        float(config.kp_sqrt_inv_cov),
+        h(config.K), h(config.q_bc), h(config.p_bc),
+        h(config.q_bi), h(config.p_bi),
+        h(config.imu_cov_g), h(config.imu_cov_a),
+        h(config.imu_cov_bg), h(config.imu_cov_ba),
+    )
+
+
 class DeviceKernels:
+    """Per-engine bundle of jitted device programs.
+
+    Prefer `DeviceKernels.get(config)`: engines created with an
+    equivalent config (same baked constants — shapes are specialized per
+    call by jit) share one instance, so resetting or re-creating a PVIO
+    engine, or serving many sequences from one process, does not
+    recompile anything. The cache assumes the config's kernel-relevant
+    fields are not mutated after the first engine is built from it.
+    """
+
+    @classmethod
+    def get(cls, config):
+        key = _kernel_cache_key(config)
+        inst = _KERNEL_CACHE.get(key)
+        if inst is None:
+            inst = cls(config)
+            _KERNEL_CACHE[key] = inst
+        return inst
+
     def __init__(self, config):
         self.cfg = config
         dtype = jnp.float32 if config.dtype == "float32" else jnp.float64

@@ -319,6 +319,28 @@ def solver_window_from_scene(scene, kf_indices, F_cap=9, T_cap=256, P_cap=8,
     return w, extr, {"n_frames": nkf, "n_tracks": L, "chosen": chosen}
 
 
+def pipeline_config():
+    """Config preset for running the full pipeline on the built-in
+    synthetic scene (small image, small window; used by the CLI runner
+    and the timing scripts)."""
+    from pvio_tpu.io.config import Config
+
+    cfg = Config()
+    cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
+    cfg.image_size = (320, 240)
+    cfg.sliding_window_size = 6
+    cfg.window_frame_capacity = 7
+    cfg.track_capacity = 128
+    cfg.initializer_keyframe_gap = 4
+    cfg.initializer_min_matches = 20
+    cfg.initializer_min_parallax = 5.0
+    cfg.initializer_min_triangulation = 15
+    cfg.initializer_min_landmarks = 15
+    cfg.keyframe_min_common_tracks = 20
+    cfg.keyframe_parallax_px = 25.0
+    return cfg
+
+
 class OracleFeatureSource:
     """Drop-in stand-in for core.feature_tracker.FeatureTracker that emits
     RawFrames with *projected* keypoints (+ optional pixel noise) instead

@@ -57,6 +57,54 @@ class HistoryRecorder:
             )
 
 
+def render_feature_overlay(path, painter=None, bus=None):
+    """Draw the tracked-feature overlay the reference GUI paints live
+    (ForensicsPainter, forensics.h:30-38; main.cpp:33-85 draws keypoints
+    and flow segments): grayscale frame + tracked keypoints (green, with
+    prev->cur flow lines) + fresh detections (blue). `painter` defaults
+    to the bus's latest `feature_tracker_painter` snapshot."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if painter is None:
+        painter = (bus or default_bus).get("feature_tracker_painter")
+    if painter is None:
+        raise ValueError("no feature_tracker_painter snapshot available")
+
+    img = np.asarray(painter["image"], np.float64)
+    kp = np.asarray(painter["kp"])
+    mask = np.asarray(painter["mask"], bool)
+    tracked = np.asarray(painter["tracked"], bool)
+    prev_kp = painter.get("prev_kp")
+
+    h, w = img.shape
+    fig, ax = plt.subplots(figsize=(w / 96, h / 96), dpi=96)
+    ax.imshow(img, cmap="gray", interpolation="nearest")
+    if prev_kp is not None:
+        pk = np.asarray(prev_kp)
+        for i in np.nonzero(mask & tracked)[0]:
+            ax.plot([pk[i, 0], kp[i, 0]], [pk[i, 1], kp[i, 1]],
+                    "-", lw=0.8, color="#fb8f44", alpha=0.9)
+    t_idx = mask & tracked
+    d_idx = mask & ~tracked
+    if t_idx.any():
+        ax.plot(kp[t_idx, 0], kp[t_idx, 1], "o", ms=3, mew=0.8,
+                mfc="none", color="#2da44e", label=f"tracked ({t_idx.sum()})")
+    if d_idx.any():
+        ax.plot(kp[d_idx, 0], kp[d_idx, 1], "s", ms=3, mew=0.8,
+                mfc="none", color="#218bff", label=f"new ({d_idx.sum()})")
+    ax.legend(loc="lower right", fontsize=7)
+    ax.set_title(f"frame {painter['frame_id']}  t={painter['t']:.3f}s",
+                 fontsize=8)
+    ax.set_axis_off()
+    fig.tight_layout(pad=0.1)
+    fig.savefig(path, dpi=96)
+    plt.close(fig)
+    return path
+
+
 def _plot_trajectory(ax, traj, landmarks, planes, axes=(0, 1), labels="xy"):
     if traj is not None and len(traj):
         p = np.asarray([pose[2] for pose in traj], np.float64)

@@ -22,6 +22,10 @@ def main(argv=None):
     ap.add_argument("--no-planes", action="store_true")
     ap.add_argument("--plot", default=None, metavar="PNG",
                     help="render the forensics dashboard to this file")
+    ap.add_argument("--overlay-dir", default=None, metavar="DIR",
+                    help="save tracked-feature overlays (every --overlay-every"
+                         " frames) to this directory")
+    ap.add_argument("--overlay-every", type=int, default=10)
     args = ap.parse_args(argv)
 
     import jax
@@ -45,21 +49,32 @@ def main(argv=None):
 
         recorder = HistoryRecorder(bus)
 
+    overlay_count = [0]
+
+    def on_frame(t):
+        if recorder is not None:
+            recorder.sample(t)
+        if args.overlay_dir:
+            k = overlay_count[0]
+            overlay_count[0] += 1
+            if k % args.overlay_every == 0:
+                import os
+
+                from pvio_tpu.io.visualizer import render_feature_overlay
+
+                os.makedirs(args.overlay_dir, exist_ok=True)
+                try:
+                    render_feature_overlay(
+                        f"{args.overlay_dir}/frame_{k:05d}.png", bus=bus)
+                except ValueError:
+                    pass
+
     if args.dataset == "synthetic":
         from pvio_tpu.io import synthetic
 
-        cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
-        cfg.image_size = (320, 240)
-        cfg.sliding_window_size = 6
-        cfg.window_frame_capacity = 7
-        cfg.track_capacity = 128
-        cfg.initializer_keyframe_gap = 4
-        cfg.initializer_min_matches = 20
-        cfg.initializer_min_parallax = 5.0
-        cfg.initializer_min_triangulation = 15
-        cfg.initializer_min_landmarks = 15
-        cfg.keyframe_min_common_tracks = 20
-        cfg.keyframe_parallax_px = 25.0
+        preset = synthetic.pipeline_config()
+        preset.enable_plane_constraint = cfg.enable_plane_constraint
+        cfg = preset
         scene = synthetic.make_scene(duration=4.0, n_points=320)
         vio = PVIO(cfg)
         n = 0
@@ -74,8 +89,7 @@ def main(argv=None):
                     pose = vio.track_camera(scene.frame_t[fi], img)
                     if pose is not None:
                         wtr.write_pose(pose.t, pose.q, pose.p)
-                    if recorder is not None:
-                        recorder.sample(scene.frame_t[fi])
+                    on_frame(scene.frame_t[fi])
                     fi += 1
                     n += 1
                     if args.max_frames and n >= args.max_frames:
@@ -107,7 +121,7 @@ def main(argv=None):
         reader = open_dataset(args.dataset, cfg)
         with TumTrajectoryWriter(args.output) as wtr:
             run_dataset(vio, reader, wtr, max_frames=args.max_frames,
-                        on_frame=(recorder.sample if recorder else None))
+                        on_frame=on_frame)
 
     if args.plot:
         from pvio_tpu.io.visualizer import render_dashboard

@@ -1,0 +1,94 @@
+"""Steady-state end-to-end pipeline timing.
+
+The reference's real-time contract is ~20-30 camera fps on a desktop CPU
+(pvio-pc/src/main.cpp:30). This script measures OUR full host pipeline
+(IMU pairing -> fused frontend step -> PnP -> keyframe BA/marginalization
+-> plane upkeep) at steady state: the synthetic scene is run once to
+compile every device program, then the engine is reset (DeviceKernels are
+cached, so nothing recompiles) and the second run is timed per frame.
+
+Usage: python scripts/time_pipeline.py [--cpu] [--no-planes] [--duration S]
+"""
+
+import os, sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import sys
+import time
+
+
+def run_scene(vio, scene, frame_times=None):
+    import numpy as np
+
+    from pvio_tpu.io import synthetic
+
+    cfg = vio.config
+    n_poses = 0
+    fi = 0
+    for k in range(len(scene.imu_t)):
+        t = scene.imu_t[k]
+        vio.track_gyroscope(t, *scene.gyro[k])
+        vio.track_accelerometer(t, *scene.accel[k])
+        while fi < len(scene.frame_t) and scene.frame_t[fi] <= t:
+            img = synthetic.render_frame(scene, fi, cfg.K, cfg.image_size)
+            t0 = time.perf_counter()
+            pose = vio.track_camera(scene.frame_t[fi], img)
+            if frame_times is not None:
+                frame_times.append(time.perf_counter() - t0)
+            if pose is not None:
+                n_poses += 1
+            fi += 1
+    return n_poses, fi
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--duration", type=float, default=6.0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from pvio_tpu import PVIO
+    from pvio_tpu.io import synthetic
+    from pvio_tpu.utils.forensics import bus
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    cfg = synthetic.pipeline_config()
+    if args.no_planes:
+        cfg.enable_plane_constraint = False
+    scene = synthetic.make_scene(duration=args.duration, n_points=320)
+    vio = PVIO(cfg)
+
+    t0 = time.perf_counter()
+    n_poses, n_frames = run_scene(vio, scene)
+    warm = time.perf_counter() - t0
+    print(f"warm-up run: {n_frames} frames, {n_poses} poses, {warm:.1f}s "
+          f"(includes every compile)", file=sys.stderr)
+
+    vio.reset()
+    ft = []
+    t0 = time.perf_counter()
+    n_poses, n_frames = run_scene(vio, scene, frame_times=ft)
+    wall = time.perf_counter() - t0
+    ft = np.array(ft)
+    fps = n_frames / wall
+    print(f"steady-state: {n_frames} frames in {wall:.2f}s -> {fps:.1f} fps "
+          f"({n_poses} poses)")
+    print(f"track_camera per-frame ms: p50 {np.percentile(ft, 50)*1e3:.1f}  "
+          f"p90 {np.percentile(ft, 90)*1e3:.1f}  max {ft.max()*1e3:.1f}")
+    print("forensics (rolling avg):",
+          {k: round(v, 4) for k, v in bus.summary().items()
+           if isinstance(v, float)})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,8 @@
 """Disambiguate timing: same VI solve, scan lengths 5/30/60, 3 fresh-input
 calls each — exposes dispatch caching vs contention vs real per-step time."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 

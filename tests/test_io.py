@@ -207,3 +207,53 @@ def test_visualizer_dashboard_renders(tmp_path):
     out = visualizer.render_dashboard(tmp_path / "dash.png", trajectory=traj,
                                       history=rec, bus=bus)
     assert (tmp_path / "dash.png").stat().st_size > 10_000
+
+
+def test_feature_overlay_renders(tmp_path):
+    """Tracked-feature overlay PNG (ForensicsPainter role,
+    forensics.h:30-38): tracked keypoints with flow lines + fresh
+    detections drawn over the raw frame."""
+    from pvio_tpu.io import visualizer
+
+    rng = np.random.default_rng(2)
+    K = 24
+    kp = rng.uniform(10, 300, size=(K, 2))
+    painter = {
+        "frame_id": 7,
+        "t": 0.35,
+        "image": rng.uniform(0, 255, size=(240, 320)),
+        "kp": kp,
+        "mask": np.ones(K, bool),
+        "tracked": np.arange(K) < 16,
+        "prev_kp": kp + rng.normal(scale=3.0, size=(K, 2)),
+    }
+    out = visualizer.render_feature_overlay(tmp_path / "ov.png", painter)
+    assert (tmp_path / "ov.png").stat().st_size > 5_000
+
+
+def test_feature_tracker_emits_painter_snapshot():
+    """The pipeline publishes a painter snapshot per tracked frame."""
+    from pvio_tpu.io import synthetic
+    from pvio_tpu import PVIO
+    from pvio_tpu.utils.forensics import bus
+
+    cfg = synthetic.pipeline_config()
+    cfg.enable_plane_constraint = False
+    scene = synthetic.make_scene(duration=0.5, n_points=120)
+    vio = PVIO(cfg)
+    fi = 0
+    for k in range(len(scene.imu_t)):
+        t = scene.imu_t[k]
+        vio.track_gyroscope(t, *scene.gyro[k])
+        vio.track_accelerometer(t, *scene.accel[k])
+        while fi < len(scene.frame_t) and scene.frame_t[fi] <= t:
+            img = synthetic.render_frame(scene, fi, cfg.K, cfg.image_size)
+            vio.track_camera(scene.frame_t[fi], img)
+            fi += 1
+        if fi >= 3:
+            break
+    snap = bus.get("feature_tracker_painter")
+    assert snap is not None
+    assert snap["kp"].shape[1] == 2
+    assert snap["mask"].any()
+    assert snap["image"].shape == (cfg.image_size[1], cfg.image_size[0])
