@@ -19,7 +19,7 @@ import numpy as np
 from pvio_tpu.core.feature_tracker import FeatureTracker
 from pvio_tpu.core.frontend_worker import FrontendWorker
 from pvio_tpu.core.kernels import DeviceKernels
-from pvio_tpu.geometry import lie
+from pvio_tpu.geometry import nplie
 from pvio_tpu.imu.preintegration import GRAVITY_NOMINAL
 from pvio_tpu.utils.forensics import bus as forensics
 
@@ -37,12 +37,11 @@ def _propagate(q, p, v, bg, ba, t0, ts, ws, accs):
             continue
         w = ws[i] - bg
         a = accs[i] - ba
-        R = np.array(lie.quat_to_mat(jnp.asarray(q)))
+        R = nplie.quat_to_mat(q)
         a_w = R @ a + GRAVITY
         p = p + dt * v + 0.5 * dt * dt * a_w
         v = v + dt * a_w
-        q = np.array(lie.quat_mul(jnp.asarray(q), lie.expmap(jnp.asarray(w * dt))))
-        q /= np.linalg.norm(q)
+        q = nplie.quat_normalize(nplie.quat_mul(q, nplie.expmap(w * dt)))
         t = ts[i]
     return q, p, v, t
 
@@ -176,8 +175,8 @@ class Core:
         t, q, p, v, bg, ba = state
         q_bo = np.asarray(self.cfg.q_bo)
         p_bo = np.asarray(self.cfg.p_bo)
-        q_out = np.array(lie.quat_mul(jnp.asarray(q), jnp.asarray(q_bo)))
-        p_out = p + np.array(lie.quat_rotate(jnp.asarray(q), jnp.asarray(p_bo)))
+        q_out = nplie.quat_mul(q, q_bo)
+        p_out = p + nplie.quat_to_mat(q) @ p_bo
         self.outputs.append((t, q_out, p_out))
 
     def _predict_output(self, t_now):

@@ -112,15 +112,17 @@ class FeatureTracker:
                 self.prev_pyramid, jnp.asarray(img), kp_prev, mask_prev,
                 jnp.asarray(dq_cam, self.k.dtype), self._next_key(),
             )
-            status_np = np.array(status)
-            kp_new_np = np.array(kp_new)
+            # ONE batched device->host fetch for everything the host
+            # bookkeeping needs (per-array pulls each cost a round trip)
+            kp_new_np, status_np, det_kp, det_mask = [
+                np.array(a) for a in
+                jax.device_get((kp_new, status, det_kp, det_mask))
+            ]
             ids = np.where(status_np, prev.track_ids, -1)
             for tid in prev.track_ids[prev.kp_mask & ~status_np]:
                 self.track_len.pop(int(tid), None)
 
             n_alive = int(status_np.sum())
-            det_kp = np.array(det_kp)
-            det_mask = np.array(det_mask)
             # merge: keep tracked in place, fill free rows with detections
             kp = np.where(status_np[:, None], kp_new_np, 0.0)
             mask = status_np.copy()

@@ -149,50 +149,48 @@ class HostWindow:
     # ------------------------------------------------------------------
     # device round-trips
     # ------------------------------------------------------------------
-    def to_device(self):
+    def to_device(self, dtype_cast=True):
+        """Build the device WindowState with ONE batched host->device
+        transfer (jax.device_put of the whole pytree). Per-array
+        jnp.asarray pushes cost a round trip each on remote/tunneled
+        devices — the difference between real-time and seconds per frame."""
         F, dtype = self.F, self.dtype
         deltas = win.empty_delta(F, jnp.dtype(dtype).name)
-        return win.WindowState(
-            q=jnp.asarray(self.q), p=jnp.asarray(self.p), v=jnp.asarray(self.v),
-            bg=jnp.asarray(self.bg), ba=jnp.asarray(self.ba),
-            frame_mask=jnp.asarray(self.frame_mask),
-            fix_mask=jnp.asarray(self.fix_mask),
-            delta=deltas, delta_valid=jnp.zeros(F, bool),
-            bg_lin=jnp.asarray(self.bg), ba_lin=jnp.asarray(self.ba),
-            inv_depth=jnp.asarray(self.inv_depth),
-            ref_frame=jnp.asarray(self.ref_frame),
-            track_mask=jnp.asarray(self.track_mask),
-            track_flags=jnp.asarray(self.track_flags),
-            quality=jnp.asarray(self.quality),
-            plane_id=jnp.asarray(self.plane_id),
-            kp=jnp.asarray(self.kp), obs_mask=jnp.asarray(self.obs_mask),
-            plane_normal=jnp.asarray(self.plane_normal),
-            plane_distance=jnp.asarray(self.plane_distance),
-            plane_mask=jnp.asarray(self.plane_mask),
+        host = win.WindowState(
+            q=self.q, p=self.p, v=self.v, bg=self.bg, ba=self.ba,
+            frame_mask=self.frame_mask, fix_mask=self.fix_mask,
+            delta=deltas, delta_valid=np.zeros(F, bool),
+            bg_lin=self.bg, ba_lin=self.ba,
+            inv_depth=self.inv_depth, ref_frame=self.ref_frame,
+            track_mask=self.track_mask, track_flags=self.track_flags,
+            quality=self.quality, plane_id=self.plane_id,
+            kp=self.kp, obs_mask=self.obs_mask,
+            plane_normal=self.plane_normal,
+            plane_distance=self.plane_distance,
+            plane_mask=self.plane_mask,
             prior=self.prior,
         )
+        return jax.device_put(host)
 
     def from_device(self, w: win.WindowState):
         """Pull solver results back (states, depths, flags, quality,
-        prior). Frame/track topology stays host-owned."""
-        self.q = np.array(w.q)
-        self.p = np.array(w.p)
-        self.v = np.array(w.v)
-        self.bg = np.array(w.bg)
-        self.ba = np.array(w.ba)
-        self.inv_depth = np.array(w.inv_depth)
-        self.track_flags = np.array(w.track_flags)
-        self.quality = np.array(w.quality)
-        self.ref_frame = np.array(w.ref_frame)
-        self.track_mask = np.array(w.track_mask)
-        # kp/obs_mask are host-owned topology, but device-side
-        # marginalization shifts frame slots — mirror them back so the
-        # grids stay aligned with the shifted frame rows
-        self.kp = np.array(w.kp)
-        self.obs_mask = np.array(w.obs_mask)
-        self.plane_normal = np.array(w.plane_normal)
-        self.plane_distance = np.array(w.plane_distance)
-        self.plane_mask = np.array(w.plane_mask)
+        prior) in ONE batched device->host fetch. Frame/track topology
+        stays host-owned."""
+        fetched = jax.device_get((w.q, w.p, w.v, w.bg, w.ba, w.inv_depth,
+                                  w.track_flags, w.quality, w.ref_frame,
+                                  w.track_mask, w.kp, w.obs_mask,
+                                  w.plane_normal, w.plane_distance,
+                                  w.plane_mask))
+        # np.array: the fetched buffers can be read-only views; the host
+        # window mutates them in place
+        (self.q, self.p, self.v, self.bg, self.ba, self.inv_depth,
+         self.track_flags, self.quality, self.ref_frame, self.track_mask,
+         # kp/obs_mask are host-owned topology, but device-side
+         # marginalization shifts frame slots — mirror them back so the
+         # grids stay aligned with the shifted frame rows
+         self.kp, self.obs_mask,
+         self.plane_normal, self.plane_distance, self.plane_mask) = \
+            [np.array(a) for a in fetched]
         self.prior = w.prior
         # drop host bookkeeping for columns the device invalidated
         for c in np.nonzero(~self.track_mask & (self.track_id >= 0))[0]:

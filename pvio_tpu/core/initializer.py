@@ -29,7 +29,7 @@ from pvio_tpu.core.host_window import HostWindow
 from pvio_tpu.frontend import ransac as ransac_mod
 from pvio_tpu.geometry import essential as ess
 from pvio_tpu.geometry import homography as hom
-from pvio_tpu.geometry import lie, triangulation
+from pvio_tpu.geometry import lie, nplie, triangulation
 from pvio_tpu.imu.preintegration import GRAVITY_NOMINAL
 from pvio_tpu.map.window import TF_VALID
 
@@ -39,7 +39,7 @@ def _q_np(x):
 
 
 def _quat_mul(a, b):
-    return np.array(lie.quat_mul(jnp.asarray(a), jnp.asarray(b)))
+    return nplie.quat_mul(a, b)
 
 
 def _quat_conj(q):
@@ -47,7 +47,7 @@ def _quat_conj(q):
 
 
 def _rotate(q, v):
-    return np.array(lie.quat_rotate(jnp.asarray(q), jnp.asarray(v)))
+    return nplie.quat_to_mat(q) @ np.asarray(v, float)
 
 
 def _from_two_vectors(a, b):
@@ -58,7 +58,7 @@ def _from_two_vectors(a, b):
     d = np.dot(a, b)
     if d < -1.0 + 1e-12:
         # 180 degrees: pick any orthogonal axis
-        axis = np.array(lie.s2_tangential_basis(jnp.asarray(a)))[:, 0]
+        axis = nplie.s2_tangential_basis(a)[:, 0]
         return np.concatenate([[0.0], axis])
     q = np.concatenate([[1.0 + d], c])
     return q / np.linalg.norm(q)
@@ -211,7 +211,7 @@ class Initializer:
 
         # camera poses: frame0 = identity, frameN-1 = (R^T, -R^T T)
         self._set_camera_pose(hw, 0, np.array([1.0, 0, 0, 0]), np.zeros(3))
-        q_j = np.array(lie.mat_to_quat(jnp.asarray(R.T)))
+        q_j = nplie.mat_to_quat(R.T)
         self._set_camera_pose(hw, n - 1, q_j, -R.T @ T)
 
         # triangulated landmarks: inv depth in frame-0 camera (= z)
@@ -353,8 +353,7 @@ class Initializer:
             qj, _ = self._imu_pose(hw, j)
             dq = delta.q[j]
             dq_dbg = delta.dq_dbg[j]
-            r = np.array(lie.logmap(jnp.asarray(
-                _quat_mul(_quat_conj(_quat_mul(qi, dq)), qj))))
+            r = nplie.logmap(_quat_mul(_quat_conj(_quat_mul(qi, dq)), qj))
             A += dq_dbg.T @ dq_dbg
             b += dq_dbg.T @ r
         bg = np.linalg.lstsq(A, b, rcond=None)[0]
@@ -394,7 +393,7 @@ class Initializer:
         refine_iters = 8 if cfg.initializer_refine_imu else 0
         for _ in range(refine_iters):
             damp = 0.5
-            Tg = np.array(lie.s2_tangential_basis(jnp.asarray(gravity / np.linalg.norm(gravity))))
+            Tg = nplie.s2_tangential_basis(gravity / np.linalg.norm(gravity))
             A2 = np.zeros(((n - 1) * 6, 2 + 1 + 3 * n))
             r2 = np.zeros((n - 1) * 6)
             for j in range(1, n):

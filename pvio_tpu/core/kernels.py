@@ -310,22 +310,26 @@ class DeviceKernels:
         # sliding_window_tracker.cpp:262-283)
 
     # ------------------------------------------------------------------
-    def pad_imu(self, ts, ws, accs):
-        """Pad raw IMU sample arrays to the static buffer size."""
+    def pad_imu_host(self, ts, ws, accs):
+        """Pad raw IMU sample arrays to the static buffer size (numpy —
+        callers batch the host->device transfer themselves)."""
         N = self.cfg.imu_buffer_capacity
+        npdt = np.float32 if self.dtype == jnp.float32 else np.float64
         n = min(len(ts), N)
-        tp = np.zeros(N)
-        wp = np.zeros((N, 3))
-        ap = np.zeros((N, 3))
+        tp = np.zeros(N, npdt)
+        wp = np.zeros((N, 3), npdt)
+        ap = np.zeros((N, 3), npdt)
         mp = np.zeros(N, bool)
         tp[:n] = ts[:n]
         wp[:n] = ws[:n]
         ap[:n] = accs[:n]
         mp[:n] = True
-        return (
-            jnp.asarray(tp, self.dtype), jnp.asarray(wp, self.dtype),
-            jnp.asarray(ap, self.dtype), jnp.asarray(mp),
-        )
+        return tp, wp, ap, mp
+
+    def pad_imu(self, ts, ws, accs):
+        """Pad raw IMU sample arrays to the static buffer size (one
+        batched device transfer)."""
+        return jax.device_put(self.pad_imu_host(ts, ws, accs))
 
     def integrate_one(self, ts, ws, accs, t_target, bg, ba):
         """Preintegrate a single interval (unbatched convenience)."""

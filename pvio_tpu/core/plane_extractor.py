@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pvio_tpu.frontend import ransac as ransac_mod
-from pvio_tpu.geometry import lie
+from pvio_tpu.geometry import lie, nplie
 from pvio_tpu.map import sector_area as sa
 from pvio_tpu.map.window import TF_PLANE, TF_VALID
 
@@ -59,8 +59,7 @@ class PlaneExtractor:
     def _camera_centers(self, hw):
         q_bc = np.asarray(self.cfg.q_bc)
         p_bc = np.asarray(self.cfg.p_bc)
-        qs = jnp.asarray(hw.q)
-        return hw.p + np.array(lie.quat_rotate(qs, jnp.asarray(np.tile(p_bc, (hw.F, 1)))))
+        return hw.p + nplie.quat_rotate(hw.q, np.tile(p_bc, (hw.F, 1)))
 
     def _baseline(self, hw, pts):
         """Max camera-center separation over each track's observations
@@ -81,10 +80,9 @@ class PlaneExtractor:
         p_bc = np.asarray(self.cfg.p_bc)
         errs = []
         for f in np.nonzero(hw.obs_mask[:, col] & hw.frame_mask)[0]:
-            q_wc = np.array(lie.quat_mul(jnp.asarray(hw.q[f]), jnp.asarray(q_bc)))
-            p_wc = hw.p[f] + np.array(lie.quat_rotate(jnp.asarray(hw.q[f]), jnp.asarray(p_bc)))
-            y = np.array(lie.quat_rotate(jnp.asarray(q_wc * [1, -1, -1, -1]),
-                                         jnp.asarray(point - p_wc)))
+            q_wc = nplie.quat_mul(hw.q[f], q_bc)
+            p_wc = hw.p[f] + nplie.quat_to_mat(hw.q[f]) @ p_bc
+            y = nplie.quat_to_mat(q_wc).T @ (point - p_wc)
             if y[2] <= 1e-9:
                 return np.inf
             z = hw.kp[f, col]
@@ -140,7 +138,7 @@ class PlaneExtractor:
             hw.track_flags[c] |= TF_PLANE
             hw.plane_id[c] = slot
         # polar-sector extent of the new plane (update_sector_area role)
-        basis = np.array(lie.s2_tangential_basis(jnp.asarray(rec["normal"])))
+        basis = nplie.s2_tangential_basis(rec["normal"])
         pts = self._landmarks(hw)[rec["cols"]]
         self.areas[slot] = sa.insert(
             sa.SectorArea.empty(rec["reference_point"], basis), pts)
@@ -164,11 +162,9 @@ class PlaneExtractor:
             if hw.track_flags[c] & TF_PLANE:
                 continue
             ref = hw.ref_frame[c]
-            q_wc = np.array(lie.quat_mul(jnp.asarray(hw.q[ref]), jnp.asarray(q_bc)))
-            o = hw.p[ref] + np.array(lie.quat_rotate(jnp.asarray(hw.q[ref]), jnp.asarray(p_bc)))
-            bearing = np.array(lie.quat_rotate(
-                jnp.asarray(q_wc), jnp.asarray(np.concatenate([hw.kp[ref, c], [1.0]]))
-            ))
+            q_wc = nplie.quat_mul(hw.q[ref], q_bc)
+            o = hw.p[ref] + nplie.quat_to_mat(hw.q[ref]) @ p_bc
+            bearing = nplie.quat_to_mat(q_wc) @ np.concatenate([hw.kp[ref, c], [1.0]])
             rpe_before = self._rpe(hw, c, pts[c])
             best_rpe = np.inf
             best_point = None
@@ -182,8 +178,7 @@ class PlaneExtractor:
                     continue
                 s_len = (hw.plane_distance[s] - np.dot(nrm, o)) / denom
                 plane_point = o + s_len * bearing
-                y = np.array(lie.quat_rotate(
-                    jnp.asarray(q_wc * [1, -1, -1, -1]), jnp.asarray(plane_point - o)))
+                y = nplie.quat_to_mat(q_wc).T @ (plane_point - o)
                 if y[2] < 0:
                     continue
                 rpe_after = self._rpe(hw, c, plane_point)
@@ -214,10 +209,9 @@ class PlaneExtractor:
         ref = hw.ref_frame[col]
         q_bc = np.asarray(self.cfg.q_bc)
         p_bc = np.asarray(self.cfg.p_bc)
-        q_wc = np.array(lie.quat_mul(jnp.asarray(hw.q[ref]), jnp.asarray(q_bc)))
-        o = hw.p[ref] + np.array(lie.quat_rotate(jnp.asarray(hw.q[ref]), jnp.asarray(p_bc)))
-        y = np.array(lie.quat_rotate(jnp.asarray(q_wc * [1, -1, -1, -1]),
-                                     jnp.asarray(point - o)))
+        q_wc = nplie.quat_mul(hw.q[ref], q_bc)
+        o = hw.p[ref] + nplie.quat_to_mat(hw.q[ref]) @ p_bc
+        y = nplie.quat_to_mat(q_wc).T @ (point - o)
         if y[2] > 1e-6:
             hw.inv_depth[col] = 1.0 / y[2]
 
@@ -287,13 +281,20 @@ class PlaneExtractor:
             hw.plane_distance[s] = float(d2)
             # rebuild + centralize the sector extent
             # (plane->sector_area.centralize(), sliding_window_tracker.cpp:131)
-            basis = np.array(lie.s2_tangential_basis(jnp.asarray(np.array(n2))))
+            basis = nplie.s2_tangential_basis(np.array(n2))
             # built directly at the member centroid — already centralized
             self.areas[s] = sa.insert(
                 sa.SectorArea.empty(np.array(cog), basis), pts[m])
 
     # ------------------------------------------------------------------
     def plane_track_points(self, w_dev, x_world):
+        """Jitted wrapper: one device dispatch (the body is ~10 small ops
+        — unjitted they dispatch one by one)."""
+        if not hasattr(self, "_plane_track_points_jit"):
+            self._plane_track_points_jit = jax.jit(self._plane_track_points_impl)
+        return self._plane_track_points_jit(w_dev, x_world)
+
+    def _plane_track_points_impl(self, w_dev, x_world):
         """For PnP: replace plane-track landmarks with their best-plane
         ray-cast points (pnp.cpp:61-88). Device-side, vectorized."""
         from pvio_tpu.estimation.factors import plane_cast_point

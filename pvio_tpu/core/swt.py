@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pvio_tpu.core.host_window import HostWindow
-from pvio_tpu.geometry import lie
+from pvio_tpu.geometry import lie, nplie
 from pvio_tpu.map.window import TF_PLANE, TF_VALID
 from pvio_tpu.utils.forensics import bus as forensics
 
@@ -59,22 +59,10 @@ class SlidingWindowTracker:
             return False
 
         # --- preintegrate tail -> new at tail's bias; predict ---
-        delta = self.k.integrate_one(
-            raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a, raw_new.t,
-            hw.bg[tail], hw.ba[tail],
-        )
         dtp = self.k.dtype
-        q0, p0, v0, bg0, ba0 = self.k.predict_state(
-            delta, jnp.asarray(hw.q[tail], dtp), jnp.asarray(hw.p[tail], dtp),
-            jnp.asarray(hw.v[tail], dtp), jnp.asarray(hw.bg[tail], dtp),
-            jnp.asarray(hw.ba[tail], dtp),
-        )
-
-        # --- motion-only PnP (pnp.cpp:32-100) ---
-        w_dev = hw.to_device()
-        x_world = self.k.landmarks(w_dev)
-        if self.planes is not None:
-            x_world = self.planes.plane_track_points(w_dev, x_world)
+        # batch every host->device operand in one transfer (per-array
+        # pushes cost a round trip each on remote devices)
+        imu_pad = self.k.pad_imu_host(raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a)
         valid = ((hw.track_flags & (TF_VALID | TF_PLANE)) != 0) & hw.track_mask
         z_obs = np.zeros((hw.T, 2), hw.dtype)
         obs_mask = np.zeros(hw.T, bool)
@@ -82,22 +70,36 @@ class SlidingWindowTracker:
             z_obs[col] = z
             obs_mask[col] = True
         pnp_mask = obs_mask & valid & hw.obs_mask[tail]
-        q1, p1, v1, bg1, ba1 = self.k.pnp_vi(
+        (imu_pad, t_new, tail_q, tail_p, tail_v, tail_bg, tail_ba,
+         z_obs_d, pnp_mask_d) = jax.device_put(
+            (imu_pad, np.asarray(raw_new.t, dtp),
+             hw.q[tail].astype(dtp), hw.p[tail].astype(dtp),
+             hw.v[tail].astype(dtp), hw.bg[tail].astype(dtp),
+             hw.ba[tail].astype(dtp), z_obs, pnp_mask))
+        delta = self.k._integrate_one(*imu_pad, t_new, tail_bg, tail_ba)
+        q0, p0, v0, bg0, ba0 = self.k.predict_state(
+            delta, tail_q, tail_p, tail_v, tail_bg, tail_ba)
+
+        # --- motion-only PnP (pnp.cpp:32-100) ---
+        w_dev = hw.to_device()
+        x_world = self.k.landmarks(w_dev)
+        if self.planes is not None:
+            x_world = self.planes.plane_track_points(w_dev, x_world)
+        pnp_out = self.k.pnp_vi(
             q0, p0, v0, bg0, ba0,
-            jnp.asarray(hw.q[tail], dtp), jnp.asarray(hw.p[tail], dtp),
-            jnp.asarray(hw.v[tail], dtp), jnp.asarray(hw.bg[tail], dtp),
-            jnp.asarray(hw.ba[tail], dtp),
-            delta, jnp.asarray(hw.bg[tail], dtp), jnp.asarray(hw.ba[tail], dtp),
-            x_world, jnp.asarray(z_obs, dtp), jnp.asarray(pnp_mask),
+            tail_q, tail_p, tail_v, tail_bg, tail_ba,
+            delta, tail_bg, tail_ba,
+            x_world, z_obs_d, pnp_mask_d,
         )
-        q1 = np.array(q1)
-        p1 = np.array(p1)
-        v1 = np.array(v1)
+        # ONE batched device->host fetch (PnP result + preintegrated
+        # rotation for the keyframe check)
+        q1, p1, v1, bg1, ba1, delta_q = [
+            np.array(a) for a in jax.device_get((*pnp_out, delta.q))]
         if not (np.isfinite(q1).all() and np.isfinite(p1).all()):
             return False
 
         # --- keyframe check (:255-296) ---
-        is_keyframe = self._keyframe_check(raw_new, new_obs, np.array(delta.q))
+        is_keyframe = self._keyframe_check(raw_new, new_obs, delta_q)
 
         tail_was_keyframe = bool(hw.keyframe[tail])
         if tail_was_keyframe:
@@ -106,7 +108,7 @@ class SlidingWindowTracker:
                 self._marginalize_oldest()
             slot = hw.append_frame(
                 raw_new.id, raw_new.t, q1, p1, v1,
-                np.array(bg1), np.array(ba1),
+                bg1, ba1,
                 raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a,
                 keyframe=is_keyframe,
             )
@@ -154,7 +156,7 @@ class SlidingWindowTracker:
             merged_a = np.concatenate([hw.imu_a[tail], raw_new.imu_a])
             hw.drop_tail()
             slot = hw.append_frame(
-                raw_new.id, raw_new.t, q1, p1, v1, np.array(bg1), np.array(ba1),
+                raw_new.id, raw_new.t, q1, p1, v1, bg1, ba1,
                 merged_ts, merged_w, merged_a, keyframe=is_keyframe,
             )
             # re-link against the frame before the old tail
@@ -235,18 +237,16 @@ class SlidingWindowTracker:
         q_bc = np.asarray(cfg.q_bc)
         # camera rotation i->j: qij = (q_bc^-1 * q_bi * dq * q_bi^-1 * q_bc)^-1
         q_bi = np.asarray(cfg.q_bi)
-        qm = lie.quat_mul
-        qc = lie.quat_conj
-        qij = np.array(qc(qm(qm(qm(qc(jnp.asarray(q_bc)), jnp.asarray(q_bi)),
-                               jnp.asarray(dq_body)),
-                            qm(qc(jnp.asarray(q_bi)), jnp.asarray(q_bc)))))
+        qm = nplie.quat_mul
+        qc = nplie.quat_conj
+        qij = qc(qm(qm(qm(qc(q_bc), q_bi), dq_body), qm(qc(q_bi), q_bc)))
+        Rij = nplie.quat_to_mat(qij)
         parallax_list = []
         for col, zj in new_obs:
             if not hw.obs_mask[kf, col]:
                 continue
             zi = hw.kp[kf, col]
-            b = np.concatenate([zi, [1.0]])
-            b2 = np.array(lie.quat_rotate(jnp.asarray(qij), jnp.asarray(b)))
+            b2 = Rij @ np.concatenate([zi, [1.0]])
             if abs(b2[2]) < 1e-6:
                 continue
             pi = b2[:2] / b2[2]
@@ -273,9 +273,8 @@ class SlidingWindowTracker:
         sliding_window_tracker.cpp:81-88)."""
         hw = self.hw
         w = hw.to_device()
-        inv_d, ok = self.k.triangulate_tracks(w)
-        inv_d = np.array(inv_d)
-        ok = np.array(ok)
+        inv_d, ok = [np.array(a) for a in
+                     jax.device_get(self.k.triangulate_tracks(w))]
         fresh = hw.track_mask & ok & ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0)
         for c in np.nonzero(fresh)[0]:
             hw.inv_depth[c] = inv_d[c]
@@ -296,11 +295,10 @@ class SlidingWindowTracker:
             ws[j, :n] = self.hw.imu_w[j][-n:]
             accs[j, :n] = self.hw.imu_a[j][-n:]
             mask[j, :n] = True
-        dt = self.k.dtype
-        return self.k.attach_deltas(
-            w, jnp.asarray(ts, dt), jnp.asarray(ws, dt), jnp.asarray(accs, dt),
-            jnp.asarray(mask), jnp.asarray(self.hw.frame_t, dt),
-        )
+        dt = np.float32 if self.k.dtype == jnp.float32 else np.float64
+        ops = jax.device_put((ts.astype(dt), ws.astype(dt), accs.astype(dt),
+                              mask, self.hw.frame_t.astype(dt)))
+        return self.k.attach_deltas(w, *ops)
 
     def _marginalize_oldest(self):
         with forensics.timer("bundle_adjustor_marginalization_time"):
