@@ -42,16 +42,24 @@ class FeatureTracker:
         self.k = kernels
         self.frames: list[RawFrame] = []
         self.prev_pyramid = None
+        # device-resident merged keypoint state from the last frame_step —
+        # fed straight back next frame, so keypoints never re-upload
+        self._kp_dev = None
+        self._mask_dev = None
         self.next_track_id = 0
         self.track_len: dict[int, int] = {}
         self.initialized = False  # switches raw window length
-        self._key = jax.random.PRNGKey(config.random_seed if seed is None else seed)
+        self._seed = np.uint32(config.random_seed if seed is None else seed)
+        self._frame_counter = 0
         # camera-frame rotation between consecutive frames, from raw gyro
         self._q_bc = np.asarray(config.q_bc)
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+    def _next_key_data(self):
+        """Host-built threefry key data (seed, frame counter): a distinct
+        deterministic RNG key per frame with zero device round trips (the
+        kernel wraps it in-graph)."""
+        self._frame_counter += 1
+        return np.array([self._seed, self._frame_counter], np.uint32)
 
     @staticmethod
     def _np_quat_mul(a, b):
@@ -91,47 +99,54 @@ class FeatureTracker:
 
         if not self.frames:
             # fused preprocess + detect: one device dispatch
-            pyr, kp, mask = self.k.first_frame_step(jnp.asarray(img))
-            kp = np.array(kp)
-            mask = np.array(mask)
+            pyr, kp_dev, mask_dev = self.k.first_frame_step(jnp.asarray(img))
+            kp, mask = [np.array(a) for a in jax.device_get((kp_dev, mask_dev))]
+            self._kp_dev, self._mask_dev = kp_dev, mask_dev
             ids = -np.ones(Kmax, np.int64)
             for i in np.nonzero(mask)[0]:
                 ids[i] = self._new_track()
             rf = RawFrame(frame_id, t, kp, mask, ids,
                           np.asarray(imu_ts), np.asarray(imu_w), np.asarray(imu_a))
+            status_np = np.zeros(Kmax, bool)
         else:
             prev = self.frames[-1]
-            kp_prev = jnp.asarray(prev.kp, self.k.dtype)
-            mask_prev = jnp.asarray(prev.kp_mask)
             dq_cam = (self._interframe_camera_rotation(imu_ts, imu_w, prev.t, t)
                       if cfg.feature_tracker_predict_keypoints
                       else np.array([1.0, 0, 0, 0]))
-            # fused preprocess + predicted flow + KLT + F-gate + detect:
-            # one device dispatch per frame
-            pyr, kp_new, status, det_kp, det_mask = self.k.frame_step(
-                self.prev_pyramid, jnp.asarray(img), kp_prev, mask_prev,
-                jnp.asarray(dq_cam, self.k.dtype), self._next_key(),
+            # ONE batched upload (image + gyro rotation + RNG key data);
+            # the keypoint state stays device-resident between frames.
+            # uint8 images ship as-is (normalized in-graph); anything else
+            # is cast to the engine dtype on host so float64 synthetic
+            # imagery doesn't ship at double width
+            np_dt = np.float32 if self.k.dtype == jnp.float32 else np.float64
+            img_h = np.asarray(img)
+            if img_h.dtype != np.uint8 and img_h.dtype != np_dt:
+                img_h = img_h.astype(np_dt)
+            img_d, dq_d, key_d = jax.device_put(
+                (img_h, np.asarray(dq_cam, np_dt), self._next_key_data()))
+            # fused preprocess + predicted flow + KLT + F-gate + detect +
+            # merge: one device dispatch per frame
+            pyr, kp_dev, mask_dev, status, det_mask = self.k.frame_step(
+                self.prev_pyramid, img_d, self._kp_dev, self._mask_dev,
+                dq_d, key_d,
             )
+            self._kp_dev, self._mask_dev = kp_dev, mask_dev
             # ONE batched device->host fetch for everything the host
             # bookkeeping needs (per-array pulls each cost a round trip)
-            kp_new_np, status_np, det_kp, det_mask = [
+            kp, mask, status_np, det_mask = [
                 np.array(a) for a in
-                jax.device_get((kp_new, status, det_kp, det_mask))
+                jax.device_get((kp_dev, mask_dev, status, det_mask))
             ]
             ids = np.where(status_np, prev.track_ids, -1)
             for tid in prev.track_ids[prev.kp_mask & ~status_np]:
                 self.track_len.pop(int(tid), None)
 
+            # replay the kernel's deterministic merge rule on track ids:
+            # free rows (ascending) take fresh detections (ascending)
             n_alive = int(status_np.sum())
-            # merge: keep tracked in place, fill free rows with detections
-            kp = np.where(status_np[:, None], kp_new_np, 0.0)
-            mask = status_np.copy()
-            free_rows = np.nonzero(~mask)[0]
-            det_rows = np.nonzero(det_mask)[0]
-            n_fill = min(len(free_rows), len(det_rows), Kmax - n_alive)
-            for r, d in zip(free_rows[:n_fill], det_rows[:n_fill]):
-                kp[r] = det_kp[d]
-                mask[r] = True
+            free_rows = np.nonzero(~status_np)[0]
+            n_fill = min(len(free_rows), int(det_mask.sum()), Kmax - n_alive)
+            for r in free_rows[:n_fill]:
                 ids[r] = self._new_track()
             for tid in ids[mask]:
                 self.track_len[int(tid)] = self.track_len.get(int(tid), 0) + 1

@@ -54,6 +54,8 @@ class HostWindow:
         self._col_of_track = {}
         # prior (kept as jnp via last device round-trip; start empty)
         self.prior = win.empty_prior(F_cap, jnp.dtype(dtype).name)
+        # host mirror of prior.valid (avoids a device fetch per keyframe)
+        self.prior_valid = False
 
     # ------------------------------------------------------------------
     # frame slots
@@ -149,11 +151,14 @@ class HostWindow:
     # ------------------------------------------------------------------
     # device round-trips
     # ------------------------------------------------------------------
-    def to_device(self, dtype_cast=True):
+    def to_device(self, extra=None):
         """Build the device WindowState with ONE batched host->device
         transfer (jax.device_put of the whole pytree). Per-array
         jnp.asarray pushes cost a round trip each on remote/tunneled
-        devices — the difference between real-time and seconds per frame."""
+        devices — the difference between real-time and seconds per frame.
+
+        `extra`: optional pytree of host operands shipped in the SAME
+        transfer; returns (window, extra) when given."""
         F, dtype = self.F, self.dtype
         deltas = win.empty_delta(F, jnp.dtype(dtype).name)
         host = win.WindowState(
@@ -170,17 +175,24 @@ class HostWindow:
             plane_mask=self.plane_mask,
             prior=self.prior,
         )
-        return jax.device_put(host)
+        if extra is None:
+            return jax.device_put(host)
+        return jax.device_put((host, extra))
 
-    def from_device(self, w: win.WindowState):
+    def from_device(self, w: win.WindowState, extra=None):
         """Pull solver results back (states, depths, flags, quality,
         prior) in ONE batched device->host fetch. Frame/track topology
-        stays host-owned."""
-        fetched = jax.device_get((w.q, w.p, w.v, w.bg, w.ba, w.inv_depth,
-                                  w.track_flags, w.quality, w.ref_frame,
-                                  w.track_mask, w.kp, w.obs_mask,
-                                  w.plane_normal, w.plane_distance,
-                                  w.plane_mask))
+        stays host-owned (but frame_mask is mirrored: marginalization
+        compacts slots device-side).
+
+        `extra`: optional pytree of device values fetched in the SAME
+        round trip and returned as host arrays."""
+        fetched, extra_h = jax.device_get((
+            (w.q, w.p, w.v, w.bg, w.ba, w.inv_depth,
+             w.track_flags, w.quality, w.ref_frame,
+             w.track_mask, w.kp, w.obs_mask,
+             w.plane_normal, w.plane_distance,
+             w.plane_mask, w.frame_mask), extra))
         # np.array: the fetched buffers can be read-only views; the host
         # window mutates them in place
         (self.q, self.p, self.v, self.bg, self.ba, self.inv_depth,
@@ -189,12 +201,13 @@ class HostWindow:
          # marginalization shifts frame slots — mirror them back so the
          # grids stay aligned with the shifted frame rows
          self.kp, self.obs_mask,
-         self.plane_normal, self.plane_distance, self.plane_mask) = \
-            [np.array(a) for a in fetched]
+         self.plane_normal, self.plane_distance, self.plane_mask,
+         self.frame_mask) = [np.array(a) for a in fetched]
         self.prior = w.prior
         # drop host bookkeeping for columns the device invalidated
         for c in np.nonzero(~self.track_mask & (self.track_id >= 0))[0]:
             self.release_column(int(c))
+        return extra_h
 
     def shift_after_marginalize(self, index=0):
         """Mirror marginalize_and_remove's slot compaction for the

@@ -120,7 +120,13 @@ class DeviceKernels:
         levels = 3
 
         def preprocess(img):
-            img = img.astype(dtype)
+            # accept 8-bit grayscale natively (the reference's Image ABC is
+            # 8-bit, opencv_image.h) — shipping uint8 and normalizing
+            # in-graph quarters the per-frame host->device transfer
+            if img.dtype == jnp.uint8:
+                img = img.astype(dtype) * jnp.asarray(1.0 / 255.0, dtype)
+            else:
+                img = img.astype(dtype)
             img = image_mod.clahe(img) if cfg.feature_tracker_clahe else image_mod.normalize(img)
             return tuple(image_mod.build_pyramid(img, levels))
 
@@ -160,12 +166,23 @@ class DeviceKernels:
             out = camera.apply_k(b2[..., :2] / zs, K)
             return jnp.where(mask[:, None], out, kp)
 
-        def frame_step(pyr_prev, img_next, kp_prev, mask_prev, dq_cam, key):
+        def frame_step(pyr_prev, img_next, kp_prev, mask_prev, dq_cam,
+                       key_data):
             """Fused per-frame frontend: preprocess + gyro-predicted
-            initial flow + pyramidal KLT + F-RANSAC gate + detection, one
-            device dispatch (the reference does all of this inside
-            FeatureTracker::work, feature_tracker.cpp:37-141; splitting it
-            into per-op dispatches wastes launch latency)."""
+            initial flow + pyramidal KLT + F-RANSAC gate + detection +
+            detection merge, one device dispatch (the reference does all
+            of this inside FeatureTracker::work, feature_tracker.cpp:
+            37-141; splitting it into per-op dispatches wastes launch
+            latency). `key_data` is a host-built (2,) uint32 — wrapping it
+            in-graph keeps RNG off the host/device round-trip path.
+
+            Returns (pyr_next, kp_merged, mask_merged, status, det_mask):
+            kp_merged keeps tracked keypoints in place and fills free rows
+            with fresh detections in ascending-row order — the host
+            replays the same deterministic rule on track ids from
+            (status, det_mask) alone, and feeds kp_merged/mask_merged
+            straight back as next frame's device-resident input."""
+            key = jax.random.wrap_key_data(key_data, impl="threefry2x32")
             pyr_next = preprocess(img_next)
             if cfg.feature_tracker_predict_keypoints:
                 guess = predict_kp_(kp_prev, mask_prev, dq_cam)
@@ -183,7 +200,19 @@ class DeviceKernels:
             gate_on = (jnp.sum(status) >= 8) & (count >= 8)
             status = jnp.where(gate_on, status & inl, status)
             det_kp, det_mask = detect(pyr_next[0], kp_new, status)
-            return pyr_next, kp_new, status, det_kp, det_mask
+            # in-graph merge (mirrors the host id bookkeeping rule)
+            Kmax = kp_new.shape[0]
+            n_fill = jnp.minimum(jnp.sum(det_mask), Kmax - jnp.sum(status))
+            free_idx = jnp.nonzero(~status, size=Kmax, fill_value=Kmax)[0]
+            det_idx = jnp.nonzero(det_mask, size=Kmax,
+                                  fill_value=Kmax - 1)[0]
+            take = jnp.arange(Kmax) < n_fill
+            kp_merged = jnp.where(status[:, None], kp_new, 0.0)
+            fill_rows = jnp.where(take, free_idx, Kmax)  # OOB rows drop
+            kp_merged = kp_merged.at[fill_rows].set(
+                det_kp[det_idx], mode="drop")
+            mask_merged = status.at[fill_rows].set(True, mode="drop")
+            return pyr_next, kp_merged, mask_merged, status, det_mask
 
         self.frame_step = jax.jit(frame_step)
 
@@ -305,6 +334,83 @@ class DeviceKernels:
             return win.landmark_points(w, extr)
 
         self.landmarks = jax.jit(landmarks)
+
+        def plane_points(w, x_world):
+            """Replace plane-track landmarks with their best-plane
+            ray-cast points (pnp.cpp:61-88). Device-side, vectorized."""
+            from pvio_tpu.estimation.factors import plane_cast_point
+            from pvio_tpu.map.window import TF_PLANE
+
+            P = w.plane_mask.shape[0]
+            pid = jnp.clip(w.plane_id, 0, P - 1)
+            is_plane = ((w.track_flags & TF_PLANE) != 0) & (w.plane_id >= 0)
+            q_ref = w.q[w.ref_frame]
+            p_ref = w.p[w.ref_frame]
+            q_wc = lie.quat_mul(q_ref, jnp.broadcast_to(extr.q_bc, q_ref.shape))
+            o = p_ref + lie.quat_rotate(q_ref, jnp.broadcast_to(extr.p_bc, p_ref.shape))
+            T = w.kp.shape[1]
+            z_ref = jnp.take_along_axis(w.kp, w.ref_frame[None, :, None], axis=0)[0]
+            bearing = lie.quat_rotate(
+                q_wc, jnp.concatenate([z_ref, jnp.ones((T, 1), z_ref.dtype)], axis=-1)
+            )
+            cast = plane_cast_point(
+                w.plane_normal[pid], w.plane_distance[pid], o, bearing)
+            return jnp.where(is_plane[:, None], cast, x_world)
+
+        self.plane_points = jax.jit(plane_points)
+
+        def pnp_step(w, tp, wp, ap, mp, t_new, tail_idx, z_obs, pnp_mask):
+            """Fused per-frame motion step, ONE dispatch: preintegrate the
+            tail->new IMU span at the tail's bias, forward-predict, form
+            landmark points (plane tracks ray-cast onto their plane), and
+            run motion-only visual-inertial PnP
+            (sliding_window_tracker.cpp:75-79 + pnp.cpp:32-100). Returns
+            (q1, p1, v1, bg1, ba1, delta_q)."""
+            tail_q = w.q[tail_idx]
+            tail_p = w.p[tail_idx]
+            tail_v = w.v[tail_idx]
+            tail_bg = w.bg[tail_idx]
+            tail_ba = w.ba[tail_idx]
+            delta = pre.preintegrate(tp, wp, ap, mp, t_new, tail_bg, tail_ba,
+                                     self.noise)
+            q0, p0, v0, bg0, ba0 = pre.predict(
+                delta, tail_q, tail_p, tail_v, tail_bg, tail_ba)
+            x_world = win.landmark_points(w, extr)
+            if cfg.enable_plane_constraint:
+                x_world = plane_points(w, x_world)
+            q1, p1, v1, bg1, ba1 = pnp_mod.solve_pnp(
+                q0, p0, v0, bg0, ba0, tail_q, tail_p, tail_v, tail_bg,
+                tail_ba, delta, tail_bg, tail_ba, x_world, z_obs, pnp_mask,
+                extr, self.pnp_cfg,
+            )
+            return q1, p1, v1, bg1, ba1, delta.q
+
+        self.pnp_step = jax.jit(pnp_step)
+
+        def ba_step(w, ts, ws, accs, mask, t_frames, make_prior):
+            """Fused keyframe solve, ONE dispatch: (optionally) create the
+            initial marginalization prior, re-integrate every frame
+            interval at current biases, run the full visual-inertial BA,
+            and return the post-solve landmark cloud for forensics
+            (sliding_window_tracker.cpp:90-113 + 138-245)."""
+            if make_prior:
+                w = w._replace(prior=marg_mod.make_initial_prior(w))
+            w = attach_deltas(w, ts, ws, accs, mask, t_frames)
+            w2, info = ba_mod.solve(w, extr, self.ba_cfg)
+            w2 = ba_mod.post_solve_update(w2, extr, K)
+            return w2, info, win.landmark_points(w2, extr)
+
+        self.ba_step = jax.jit(ba_step, static_argnums=(6,))
+
+        def marg_step(w, ts, ws, accs, mask, t_frames):
+            """Fused marginalization, ONE dispatch: attach deltas, rebase
+            track references off the victim frame, Schur-eliminate it into
+            the prior, compact slots (map.cpp:76-88 +
+            bundle_adjustor.cpp:348-599)."""
+            w = attach_deltas(w, ts, ws, accs, mask, t_frames)
+            return marginalize0(w)
+
+        self.marg_step = jax.jit(marg_step)
 
         # keyframe parallax gating is done on host with numpy (tiny math,
         # sliding_window_tracker.cpp:262-283)

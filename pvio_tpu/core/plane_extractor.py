@@ -30,9 +30,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from pvio_tpu.frontend import ransac as ransac_mod
-from pvio_tpu.geometry import lie, nplie
+from pvio_tpu.geometry import nplie
 from pvio_tpu.map import sector_area as sa
 from pvio_tpu.map.window import TF_PLANE, TF_VALID
+
+
+def _refine_plane_pca_np(points, inlier_mask):
+    """Host numpy mirror of ransac.refine_plane_pca
+    (plane_extractor.cpp:63-76): normal = smallest-eigenvector of the
+    inlier scatter. The result feeds host bookkeeping immediately, so
+    computing it on device would cost a dispatch + fetch round trip per
+    plane per keyframe. Returns (normal, distance, centroid)."""
+    m = inlier_mask.astype(np.float64)[:, None]
+    cnt = max(float(m.sum()), 1.0)
+    pts = np.asarray(points, np.float64)
+    c = (pts * m).sum(axis=0) / cnt
+    d = (pts - c) * m
+    cov = d.T @ d / cnt
+    _, V = np.linalg.eigh(cov)
+    n = V[:, 0]
+    dist = float(n @ c)
+    if dist < 0:
+        n, dist = -n, -dist
+    return n, dist, c
 
 
 class PlaneExtractor:
@@ -54,7 +74,22 @@ class PlaneExtractor:
 
     # ------------------------------------------------------------------
     def _landmarks(self, hw):
-        return np.array(self.k.landmarks(hw.to_device()))
+        """World-space landmark per track column — host numpy mirror of
+        map.window.landmark_points (track.cpp:137-147). The plane
+        bookkeeping calls this several times per keyframe; doing it on
+        host costs microseconds where a device round trip costs ~10 ms
+        on tunneled accelerators."""
+        q_bc = np.asarray(self.cfg.q_bc)
+        p_bc = np.asarray(self.cfg.p_bc)
+        T = hw.T
+        z_ref = np.take_along_axis(hw.kp, hw.ref_frame[None, :, None], axis=0)[0]
+        inv_d = np.where(np.abs(hw.inv_depth) < 1e-12, 1e-12, hw.inv_depth)
+        y = np.concatenate([z_ref, np.ones((T, 1), hw.kp.dtype)], axis=-1)
+        y = y / inv_d[:, None]
+        y_body = nplie.quat_rotate(np.broadcast_to(q_bc, (T, 4)), y) + p_bc
+        q_ref = hw.q[hw.ref_frame]
+        p_ref = hw.p[hw.ref_frame]
+        return nplie.quat_rotate(q_ref, y_body) + p_ref
 
     def _camera_centers(self, hw):
         q_bc = np.asarray(self.cfg.q_bc)
@@ -105,17 +140,16 @@ class PlaneExtractor:
         )
         if good.sum() < self.min_inliers:
             return None
-        n, d, inl, count = self._find_plane(
-            self._next_key(), jnp.asarray(pts, self.k.dtype), jnp.asarray(good)
-        )
+        pts_d, good_d = jax.device_put((pts.astype(self.k.dtype), good))
+        inl, count = jax.device_get(
+            self._find_plane(self._next_key(), pts_d, good_d)[2:])
         if int(count) <= self.min_inliers:
             return None
         inl = np.array(inl) & good
-        n2, d2, cog = ransac_mod.refine_plane_pca(jnp.asarray(pts, self.k.dtype),
-                                                  jnp.asarray(inl))
+        n2, d2, cog = _refine_plane_pca_np(pts, inl)
         return {
-            "normal": np.array(n2), "distance": float(d2),
-            "reference_point": np.array(cog), "cols": np.nonzero(inl)[0],
+            "normal": n2, "distance": d2,
+            "reference_point": cog, "cols": np.nonzero(inl)[0],
         }
 
     def update_map(self, hw):
@@ -266,53 +300,27 @@ class PlaneExtractor:
             if m.sum() < 3:
                 continue
             if m.sum() >= 50:
-                n, d, inl, count = self._find_plane(
-                    self._next_key(), jnp.asarray(pts, self.k.dtype), jnp.asarray(m)
-                )
-                fit_mask = np.array(inl) & m
+                pts_d, m_d = jax.device_put((pts.astype(self.k.dtype), m))
+                inl = np.array(jax.device_get(
+                    self._find_plane(self._next_key(), pts_d, m_d)[2]))
+                fit_mask = inl & m
                 if fit_mask.sum() < 3:
                     fit_mask = m
             else:
                 fit_mask = m
-            n2, d2, cog = ransac_mod.refine_plane_pca(
-                jnp.asarray(pts, self.k.dtype), jnp.asarray(fit_mask)
-            )
-            hw.plane_normal[s] = np.array(n2)
-            hw.plane_distance[s] = float(d2)
+            n2, d2, cog = _refine_plane_pca_np(pts, fit_mask)
+            hw.plane_normal[s] = n2
+            hw.plane_distance[s] = d2
             # rebuild + centralize the sector extent
             # (plane->sector_area.centralize(), sliding_window_tracker.cpp:131)
-            basis = nplie.s2_tangential_basis(np.array(n2))
+            basis = nplie.s2_tangential_basis(n2)
             # built directly at the member centroid — already centralized
             self.areas[s] = sa.insert(
                 sa.SectorArea.empty(np.array(cog), basis), pts[m])
 
     # ------------------------------------------------------------------
     def plane_track_points(self, w_dev, x_world):
-        """Jitted wrapper: one device dispatch (the body is ~10 small ops
-        — unjitted they dispatch one by one)."""
-        if not hasattr(self, "_plane_track_points_jit"):
-            self._plane_track_points_jit = jax.jit(self._plane_track_points_impl)
-        return self._plane_track_points_jit(w_dev, x_world)
-
-    def _plane_track_points_impl(self, w_dev, x_world):
         """For PnP: replace plane-track landmarks with their best-plane
-        ray-cast points (pnp.cpp:61-88). Device-side, vectorized."""
-        from pvio_tpu.estimation.factors import plane_cast_point
-
-        P = w_dev.plane_mask.shape[0]
-        pid = jnp.clip(w_dev.plane_id, 0, P - 1)
-        is_plane = ((w_dev.track_flags & TF_PLANE) != 0) & (w_dev.plane_id >= 0)
-        extr = self.k.extr
-        q_ref = w_dev.q[w_dev.ref_frame]
-        p_ref = w_dev.p[w_dev.ref_frame]
-        q_wc = lie.quat_mul(q_ref, jnp.broadcast_to(extr.q_bc, q_ref.shape))
-        o = p_ref + lie.quat_rotate(q_ref, jnp.broadcast_to(extr.p_bc, p_ref.shape))
-        T = w_dev.kp.shape[1]
-        z_ref = jnp.take_along_axis(w_dev.kp, w_dev.ref_frame[None, :, None], axis=0)[0]
-        bearing = lie.quat_rotate(
-            q_wc, jnp.concatenate([z_ref, jnp.ones((T, 1), z_ref.dtype)], axis=-1)
-        )
-        cast = plane_cast_point(
-            w_dev.plane_normal[pid], w_dev.plane_distance[pid], o, bearing
-        )
-        return jnp.where(is_plane[:, None], cast, x_world)
+        ray-cast points (pnp.cpp:61-88). Delegates to the shared jitted
+        kernel (DeviceKernels.plane_points, also fused into pnp_step)."""
+        return self.k.plane_points(w_dev, x_world)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pvio_tpu.core.host_window import HostWindow
-from pvio_tpu.geometry import lie, nplie
+from pvio_tpu.geometry import nplie
 from pvio_tpu.map.window import TF_PLANE, TF_VALID
 from pvio_tpu.utils.forensics import bus as forensics
 
@@ -58,10 +58,9 @@ class SlidingWindowTracker:
         if len(new_obs) < 8:
             return False
 
-        # --- preintegrate tail -> new at tail's bias; predict ---
+        # --- fused motion step: preintegrate tail->new + predict + PnP
+        # (pnp.cpp:32-100) — ONE upload, ONE dispatch, ONE fetch ---
         dtp = self.k.dtype
-        # batch every host->device operand in one transfer (per-array
-        # pushes cost a round trip each on remote devices)
         imu_pad = self.k.pad_imu_host(raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a)
         valid = ((hw.track_flags & (TF_VALID | TF_PLANE)) != 0) & hw.track_mask
         z_obs = np.zeros((hw.T, 2), hw.dtype)
@@ -70,31 +69,14 @@ class SlidingWindowTracker:
             z_obs[col] = z
             obs_mask[col] = True
         pnp_mask = obs_mask & valid & hw.obs_mask[tail]
-        (imu_pad, t_new, tail_q, tail_p, tail_v, tail_bg, tail_ba,
-         z_obs_d, pnp_mask_d) = jax.device_put(
-            (imu_pad, np.asarray(raw_new.t, dtp),
-             hw.q[tail].astype(dtp), hw.p[tail].astype(dtp),
-             hw.v[tail].astype(dtp), hw.bg[tail].astype(dtp),
-             hw.ba[tail].astype(dtp), z_obs, pnp_mask))
-        delta = self.k._integrate_one(*imu_pad, t_new, tail_bg, tail_ba)
-        q0, p0, v0, bg0, ba0 = self.k.predict_state(
-            delta, tail_q, tail_p, tail_v, tail_bg, tail_ba)
-
-        # --- motion-only PnP (pnp.cpp:32-100) ---
-        w_dev = hw.to_device()
-        x_world = self.k.landmarks(w_dev)
-        if self.planes is not None:
-            x_world = self.planes.plane_track_points(w_dev, x_world)
-        pnp_out = self.k.pnp_vi(
-            q0, p0, v0, bg0, ba0,
-            tail_q, tail_p, tail_v, tail_bg, tail_ba,
-            delta, tail_bg, tail_ba,
-            x_world, z_obs_d, pnp_mask_d,
-        )
-        # ONE batched device->host fetch (PnP result + preintegrated
-        # rotation for the keyframe check)
+        w_dev, ops = hw.to_device(extra=(
+            imu_pad, np.asarray(raw_new.t, dtp), np.int32(tail),
+            z_obs, pnp_mask))
+        (tp, wp, ap, mp), t_new, tail_i, z_obs_d, pnp_mask_d = ops
+        pnp_out = self.k.pnp_step(
+            w_dev, tp, wp, ap, mp, t_new, tail_i, z_obs_d, pnp_mask_d)
         q1, p1, v1, bg1, ba1, delta_q = [
-            np.array(a) for a in jax.device_get((*pnp_out, delta.q))]
+            np.array(a) for a in jax.device_get(pnp_out)]
         if not (np.isfinite(q1).all() and np.isfinite(p1).all()):
             return False
 
@@ -117,14 +99,16 @@ class SlidingWindowTracker:
             if self.planes is not None:
                 self.planes.update_map(self.hw)
                 self.planes.extend_planes(self.hw)
-            w = hw.to_device()
-            if not bool(jax.device_get(w.prior.valid)):
-                w = w._replace(prior=self.k.initial_prior(w))
-            w = self._attach_deltas(w)
+            # fused keyframe solve: (initial prior if absent) + delta
+            # re-integration + full VI BA — ONE upload, ONE dispatch,
+            # ONE fetch (incl. solver info + forensics landmark cloud)
+            w, ops = hw.to_device(extra=self._imu_ops_host())
             with forensics.timer("bundle_adjustor_solve_time"):
-                w, info = self.k.ba_vi(w)
+                w, info, xw_dev = self.k.ba_step(
+                    w, *ops, not hw.prior_valid)
                 jax.block_until_ready(w.p)
-            hw.from_device(w)
+            hw.prior_valid = True
+            info, xw = hw.from_device(w, extra=(info, xw_dev))
             forensics.set("solver_info", {k_: float(v) for k_, v in info.items()})
             forensics.set("sliding_window_landmarks",
                           int(((hw.track_flags & (TF_VALID | TF_PLANE)) != 0).sum()))
@@ -135,8 +119,8 @@ class SlidingWindowTracker:
             if forensics.enabled:
                 live = hw.track_mask & (
                     (hw.track_flags & (TF_VALID | TF_PLANE)) != 0)
-                xw = np.asarray(jax.device_get(self.k.landmarks(w)))
-                forensics.set("sliding_window_landmark_points", xw[live])
+                forensics.set("sliding_window_landmark_points",
+                              np.asarray(xw)[live])
                 forensics.set(
                     "sliding_window_keyframe_poses",
                     [(float(hw.frame_t[i]), hw.q[i].copy(), hw.p[i].copy())
@@ -280,7 +264,9 @@ class SlidingWindowTracker:
             hw.inv_depth[c] = inv_d[c]
             hw.track_flags[c] |= TF_VALID
 
-    def _attach_deltas(self, w):
+    def _imu_ops_host(self):
+        """Per-frame padded IMU sample grids (host numpy) for delta
+        re-integration inside the fused ba/marg steps."""
         F = self.hw.F
         N = self.cfg.imu_buffer_capacity
         ts = np.zeros((F, N))
@@ -296,17 +282,17 @@ class SlidingWindowTracker:
             accs[j, :n] = self.hw.imu_a[j][-n:]
             mask[j, :n] = True
         dt = np.float32 if self.k.dtype == jnp.float32 else np.float64
-        ops = jax.device_put((ts.astype(dt), ws.astype(dt), accs.astype(dt),
-                              mask, self.hw.frame_t.astype(dt)))
-        return self.k.attach_deltas(w, *ops)
+        return (ts.astype(dt), ws.astype(dt), accs.astype(dt),
+                mask, self.hw.frame_t.astype(dt))
 
     def _marginalize_oldest(self):
+        """Fused: attach deltas + Schur-eliminate frame 0 into the prior +
+        compact slots — ONE upload, ONE dispatch, ONE fetch."""
         with forensics.timer("bundle_adjustor_marginalization_time"):
-            w = self.hw.to_device()
-            w = self._attach_deltas(w)
-            w = self.k.marginalize0(w)
+            w, ops = self.hw.to_device(extra=self._imu_ops_host())
+            w = self.k.marg_step(w, *ops)
             jax.block_until_ready(w.p)
-        self.hw.from_device(w)
+        self.hw.from_device(w)   # mirrors the compacted frame_mask back
+        self.hw.prior_valid = True
         self.hw.shift_after_marginalize(0)
-        self.hw.frame_mask = np.array(w.frame_mask)
         self.hw._refresh_track_columns()

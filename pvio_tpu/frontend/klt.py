@@ -104,25 +104,28 @@ def _extract_windows(img, cx, cy):
     return w.reshape(K, WIN_H, WIN_W), wx, wy
 
 
-def _resample_ops(lx, ly, P, dtype):
-    """Banded bilinear resampling operators for per-keypoint fractional
-    window positions (lx, ly) (K,): Rv (K, P, WIN_H), Rh (K, P, WIN_W)
-    such that patch = Rv @ window @ Rh^T samples the (P, P) patch whose
-    top-left pixel sits at (lx, ly). One-hot bands on the MXU replace
-    gathers entirely."""
-    def band(l, N):
-        li = jnp.floor(l).astype(jnp.int32)
-        f = (l - li.astype(dtype))[:, None, None]
-        ok = (li >= 0) & (li + P + 1 <= N)
-        li = jnp.clip(li, 0, N - P - 1)
-        tgt = li[:, None] + jnp.arange(P)[None, :]             # (K, P)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
-        R = ((cols == tgt[:, :, None]).astype(dtype) * (1.0 - f)
-             + (cols == (tgt[:, :, None] + 1)).astype(dtype) * f)
-        return R, ok
+def _band(l, P, N, dtype):
+    """Banded bilinear resampling operator for per-keypoint fractional
+    offsets l (K,): R (K, P, N) whose rows carry the (1-f, f) blend at
+    (floor(l)+i, floor(l)+i+1). One-hot bands on the MXU replace gathers
+    entirely."""
+    li = jnp.floor(l).astype(jnp.int32)
+    f = (l - li.astype(dtype))[:, None, None]
+    ok = (li >= 0) & (li + P + 1 <= N)
+    li = jnp.clip(li, 0, N - P - 1)
+    tgt = li[:, None] + jnp.arange(P)[None, :]             # (K, P)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    R = ((cols == tgt[:, :, None]).astype(dtype) * (1.0 - f)
+         + (cols == (tgt[:, :, None] + 1)).astype(dtype) * f)
+    return R, ok
 
-    Rh, okx = band(lx, WIN_W)
-    Rv, oky = band(ly, WIN_H)
+
+def _resample_ops(lx, ly, P, dtype):
+    """(Rv (K, P, WIN_H), Rh (K, P, WIN_W), ok) such that
+    patch = Rv @ window @ Rh^T samples the (P, P) patch whose top-left
+    pixel sits at (lx, ly)."""
+    Rh, okx = _band(lx, P, WIN_W, dtype)
+    Rv, oky = _band(ly, P, WIN_H, dtype)
     return Rv, Rh, okx & oky
 
 
@@ -163,14 +166,19 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype):
 
     lxp = cx - half - wxp.astype(dtype)
     lyp = cy - half - wyp.astype(dtype)
-    Rv0, Rh0, _ = _resample_ops(lxp, lyp, P, dtype)
-    t = _resample(Wprev, Rv0, Rh0)
-    Rv1, Rh1, _ = _resample_ops(lxp + 0.5, lyp, P, dtype)
-    Rv2, Rh2, _ = _resample_ops(lxp - 0.5, lyp, P, dtype)
-    gx = _resample(Wprev, Rv1, Rh1) - _resample(Wprev, Rv2, Rh2)
-    Rv1, Rh1, _ = _resample_ops(lxp, lyp + 0.5, P, dtype)
-    Rv2, Rh2, _ = _resample_ops(lxp, lyp - 0.5, P, dtype)
-    gy = _resample(Wprev, Rv1, Rh1) - _resample(Wprev, Rv2, Rh2)
+    # template + gradients in TWO resampling products instead of five:
+    # gx shares the template's vertical operator (only the horizontal
+    # offset shifts), so [t | gx] = Rv0 @ W @ [Rh0 | Rh(+.5)-Rh(-.5)]^T;
+    # gy symmetrically uses the difference of vertical operators.
+    Rh0, _ = _band(lxp, P, WIN_W, dtype)
+    Rv0, _ = _band(lyp, P, WIN_H, dtype)
+    Rhd = (_band(lxp + 0.5, P, WIN_W, dtype)[0]
+           - _band(lxp - 0.5, P, WIN_W, dtype)[0])
+    Rvd = (_band(lyp + 0.5, P, WIN_H, dtype)[0]
+           - _band(lyp - 0.5, P, WIN_H, dtype)[0])
+    tgx = _resample(Wprev, Rv0, jnp.concatenate([Rh0, Rhd], axis=1))
+    t, gx = tgx[:, :, :P], tgx[:, :, P:]
+    gy = _resample(Wprev, Rvd, Rh0)
 
     a = jnp.sum(gx * gx, axis=(1, 2))
     b = jnp.sum(gx * gy, axis=(1, 2))

@@ -33,6 +33,9 @@ def run_scene(vio, scene, frame_times=None):
         vio.track_accelerometer(t, *scene.accel[k])
         while fi < len(scene.frame_t) and scene.frame_t[fi] <= t:
             img = synthetic.render_frame(scene, fi, cfg.K, cfg.image_size)
+            # feed 8-bit grayscale like a real camera (and like the
+            # reference's Image ABC) — 4x less host->device traffic
+            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
             t0 = time.perf_counter()
             pose = vio.track_camera(scene.frame_t[fi], img)
             if frame_times is not None:

@@ -179,3 +179,23 @@ def test_ransac_plane(rng):
     assert abs(sgn * float(d_e) - 1.5) < 2e-2
     n2, d2, c2 = ransac.refine_plane_pca(pts, inl)
     assert np.allclose(np.abs(np.dot(np.asarray(n2), nrm)), 1.0, atol=1e-4)
+
+
+def test_preprocess_uint8_matches_float(rng):
+    """8-bit grayscale input (the reference Image ABC's native type,
+    opencv_image.h) must preprocess identically to its float equivalent —
+    uint8 is the production transfer format (4x less host->device
+    traffic)."""
+    from pvio_tpu.core.kernels import DeviceKernels
+    from pvio_tpu import Config
+
+    cfg = Config()
+    cfg.image_size = (128, 96)
+    cfg.camera_intrinsic = np.array([100.0, 100.0, 64.0, 48.0])
+    kern = DeviceKernels(cfg)
+    img8 = rng.integers(0, 256, size=(96, 128), dtype=np.uint8)
+    imgf = img8.astype(np.float64) / 255.0
+    pyr8 = kern.preprocess(jnp.asarray(img8))
+    pyrf = kern.preprocess(jnp.asarray(imgf, kern.dtype))
+    for a, b in zip(pyr8, pyrf):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)

@@ -45,3 +45,22 @@ def test_value_and_jacfwd():
     y, J = value_and_jacfwd(f, x)
     assert np.allclose(y, [6.0, 4.0])
     assert np.allclose(J, [[3.0, 2.0], [4.0, 0.0]])
+
+
+def test_model_presets():
+    """Preset registry (pvio-pc/config/*.yaml role): every preset builds a
+    complete Config; tum_vi carries the 512 fisheye geometry the reference
+    hardcodes in its reader (tum_dataset_reader.cpp:73-81)."""
+    from pvio_tpu import models
+
+    for name in models.PRESETS:
+        cfg = models.config(name)
+        assert cfg.window_frame_capacity > cfg.sliding_window_size
+    tv = models.config("tum_vi")
+    assert tv.camera_distortion_model == "equidistant"
+    assert tv.image_size == (512, 512)
+    assert models.config("vio_no_planes").enable_plane_constraint is False
+    fast = models.config("fast")
+    assert fast.track_capacity <= 128
+    step, _ = models.batched_solver()
+    assert callable(step)
