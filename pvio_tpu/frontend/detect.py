@@ -100,21 +100,54 @@ def detect_keypoints(
 
     K = max_keypoints
 
-    def body(k, carry):
-        alive, sel_xy, sel_mask = carry
-        score_alive = jnp.where(alive, scores, -jnp.inf)
-        i = jnp.argmax(score_alive)
-        ok = score_alive[i] > -jnp.inf
-        pt = cand[i]
-        sel_xy = sel_xy.at[k].set(jnp.where(ok, pt, 0.0))
-        sel_mask = sel_mask.at[k].set(ok)
-        dist2 = jnp.sum((cand - pt) ** 2, axis=-1)
-        alive = alive & jnp.where(ok, dist2 >= d2, True)
-        return alive, sel_xy, sel_mask
+    # Exact greedy Poisson-disk selection, parallelized: candidates are
+    # already response-sorted (top_k), so greedy = "take every alive
+    # candidate with no alive higher-priority neighbor, kill its
+    # neighbors, repeat". Each round selects a whole antichain of the
+    # greedy sequence at once — the fixed round count replaces a K-step
+    # sequential argmax loop (K=150 tiny latency-bound steps, ~7 ms on
+    # TPU) with ~a dozen (C, C) masked reductions (<1 ms). Result is
+    # IDENTICAL to sequential greedy whenever the priority-chain depth
+    # fits in the round budget (index order breaks score ties).
+    dist2 = jnp.sum((cand[:, None, :] - cand[None, :, :]) ** 2, axis=-1)
+    near = dist2 < d2                                   # symmetric, incl. self
+    C_ = scores.shape[0]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (C_, C_), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (C_, C_), 1)
+    dominates = near & (jj < ii)                        # j earlier-sorted & near i
 
-    sel_xy = jnp.zeros((K, 2), dtype)
-    sel_mask = jnp.zeros(K, bool)
-    _, sel_xy, sel_mask = jax.lax.fori_loop(0, K, body, (alive, sel_xy, sel_mask))
+    def round_(carry):
+        alive, selected, n = carry
+        dominated = jnp.any(dominates & alive[None, :], axis=1)
+        winners = alive & ~dominated
+        selected = selected | winners
+        killed = jnp.any(near & winners[None, :], axis=1) & ~winners
+        alive = alive & ~winners & ~killed
+        return alive, selected, n + 1
+
+    def not_done(carry):
+        alive, selected, n = carry
+        # run to exhaustion: an early "enough selected" exit would break
+        # the score-order prefix property (pending low-index candidates
+        # can still join the set); each round retires >= 1 candidate while
+        # any is alive, so n < C_ is a safety bound, and the typical
+        # round count is the priority-chain depth (a handful)
+        return jnp.any(alive) & (n < C_)
+
+    _, selected, _ = jax.lax.while_loop(
+        not_done, round_,
+        (alive, jnp.zeros_like(alive), jnp.int32(0)))
+
+    # first K selected in response order
+    Kc = min(K, C_)
+    key = jnp.where(selected, -jnp.arange(C_, dtype=jnp.int32), jnp.int32(-C_ - 1))
+    topv, topi = jax.lax.top_k(key, Kc)
+    sel_mask = topv > -C_ - 1
+    sel_xy = jnp.where(sel_mask[:, None], cand[topi], 0.0)
+    if Kc < K:
+        sel_xy = jnp.concatenate(
+            [sel_xy, jnp.zeros((K - Kc, 2), dtype)], axis=0)
+        sel_mask = jnp.concatenate([sel_mask, jnp.zeros(K - Kc, bool)])
     return sel_xy, sel_mask
 
 

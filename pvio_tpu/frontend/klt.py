@@ -129,12 +129,24 @@ def _resample_ops(lx, ly, P, dtype):
     return Rv, Rh, okx & oky
 
 
-def _resample(windows, Rv, Rh):
+def _resample(windows, Rv, Rh, bf16=False):
+    """patch[k] = Rv[k] @ windows[k] @ Rh[k]^T. With bf16=True the MXU
+    operands are cast to bfloat16 with float32 accumulation — intensity
+    resampling tolerates the ~2^-8 operand quantization and the matmuls
+    run at full MXU rate instead of multi-pass f32."""
+    if bf16:
+        return jnp.einsum(
+            "kpv,kvw,kqw->kpq",
+            Rv.astype(jnp.bfloat16), windows.astype(jnp.bfloat16),
+            Rh.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(windows.dtype)
     return jnp.einsum("kpv,kvw,kqw->kpq", Rv, windows, Rh,
                       preferred_element_type=windows.dtype)
 
 
-def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype):
+def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype,
+                 bf16=False):
     """One pyramid level of LK for all keypoints — MXU formulation.
 
     kp_prev (K, 2) positions in this level's coords; guess (K, 2) current
@@ -176,9 +188,9 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype):
            - _band(lxp - 0.5, P, WIN_W, dtype)[0])
     Rvd = (_band(lyp + 0.5, P, WIN_H, dtype)[0]
            - _band(lyp - 0.5, P, WIN_H, dtype)[0])
-    tgx = _resample(Wprev, Rv0, jnp.concatenate([Rh0, Rhd], axis=1))
+    tgx = _resample(Wprev, Rv0, jnp.concatenate([Rh0, Rhd], axis=1), bf16)
     t, gx = tgx[:, :, :P], tgx[:, :, P:]
-    gy = _resample(Wprev, Rvd, Rh0)
+    gy = _resample(Wprev, Rvd, Rh0, bf16)
 
     a = jnp.sum(gx * gx, axis=(1, 2))
     b = jnp.sum(gx * gy, axis=(1, 2))
@@ -192,7 +204,7 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype):
         nlx = cx + gflow[:, 0] - half - wxn.astype(dtype)
         nly = cy + gflow[:, 1] - half - wyn.astype(dtype)
         Rv, Rh, _ = _resample_ops(nlx, nly, P, dtype)
-        e = _resample(Wnext, Rv, Rh) - t
+        e = _resample(Wnext, Rv, Rh, bf16) - t
         bx = jnp.sum(e * gx, axis=(1, 2))
         by = jnp.sum(e * gy, axis=(1, 2))
         dx = jnp.clip((c * bx - b * by) / det_s, -cap, cap)
@@ -203,7 +215,7 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype):
     nlx = cx + g1[:, 0] - half - wxn.astype(dtype)
     nly = cy + g1[:, 1] - half - wyn.astype(dtype)
     Rv, Rh, ok = _resample_ops(nlx, nly, P, dtype)
-    e = _resample(Wnext, Rv, Rh) - t
+    e = _resample(Wnext, Rv, Rh, bf16) - t
     err = jnp.mean(jnp.abs(e), axis=(1, 2))
     err = jnp.where(ok, err, jnp.inf)
     return g1, err
@@ -275,6 +287,7 @@ def min_eig_response(img, kp, half):
 def track_keypoints(
     pyr_prev, pyr_next, kp_prev, kp_init, mask,
     patch=21, iters=10, max_error=0.08, border=20.0, min_eig=1e-6,
+    bf16_resample=False,
 ):
     """Track keypoints from the previous to the next image.
 
@@ -299,7 +312,8 @@ def track_keypoints(
         s = 2.0**lv
         kp_l = kp_prev / s
         flow, err = _track_level(
-            pyr_prev[lv], pyr_next[lv], kp_l, flow, iters, half, dtype
+            pyr_prev[lv], pyr_next[lv], kp_l, flow, iters, half, dtype,
+            bf16=bf16_resample,
         )
         if lv > 0:
             flow = flow * 2.0

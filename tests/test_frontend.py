@@ -199,3 +199,28 @@ def test_preprocess_uint8_matches_float(rng):
     pyrf = kern.preprocess(jnp.asarray(imgf, kern.dtype))
     for a, b in zip(pyr8, pyrf):
         np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)
+
+
+def test_detect_greedy_chain_and_overflow():
+    """Poisson-disk selection must match sequential greedy even on a long
+    priority chain (decaying corner ridge spaced under min_distance), and
+    max_keypoints > candidate count must degrade gracefully."""
+    H, W = 60, 1400
+    img = np.zeros((H, W), np.float32)
+    stamp = np.array([[0, 0, 1, 0, 0], [0, 1, 1, 1, 0], [1, 1, 1, 1, 1],
+                      [0, 1, 1, 1, 0], [0, 0, 1, 0, 0]], np.float32)
+    for i in range(90):
+        x, y = 30 + i * 15, 30
+        img[y - 2:y + 3, x - 2:x + 3] = (1.0 - i * 0.01) * stamp
+    xy, m = detect.detect_keypoints(jnp.asarray(img), max_keypoints=80,
+                                    min_distance=18.0, border=5)
+    sel = np.asarray(xy)[np.asarray(m)]
+    assert int(np.asarray(m).sum()) >= 40
+    # spacing invariant: no selected pair closer than min_distance
+    d = np.linalg.norm(sel[:, None] - sel[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    assert d.min() >= 18.0 - 1.0  # sub-pixel refinement slack
+    # K > candidates: masked rows, no error
+    xy2, m2 = detect.detect_keypoints(jnp.asarray(img[:, :140]),
+                                      max_keypoints=2000, min_distance=3.0)
+    assert xy2.shape == (2000, 2) and not np.asarray(m2)[-1]
