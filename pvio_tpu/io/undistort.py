@@ -2,15 +2,13 @@
 
 Re-design of reference pvio-extra ImageUndistorter
 (image_undistorter.h:26-105): supports the radial-tangential (radtan)
-and equidistant (fisheye, TUM-VI) models. The remap table is built once on
-host; per-image remapping is a bilinear gather that runs as a jitted
-device kernel.
+and equidistant (fisheye, TUM-VI) models. The remap table is built once;
+per-image remapping is a host-numpy bilinear gather — it belongs to the
+dataset IO stage (the reference remaps with cv::remap on CPU too), and 2D
+warp gathers are pathological on TPU.
 """
 
 import numpy as np
-
-import jax
-import jax.numpy as jnp
 
 
 def _distort_radtan(x, y, k1, k2, p1, p2):
@@ -51,25 +49,33 @@ class ImageUndistorter:
             Xd, Yd = X, Y
         else:
             raise ValueError(f"unknown distortion model {model!r}")
-        self.map_x = jnp.asarray(Xd * fx + cx, jnp.float32)
-        self.map_y = jnp.asarray(Yd * fy + cy, jnp.float32)
-
-        def remap(img):
-            Hh, Ww = img.shape
-            x = jnp.clip(self.map_x, 0.0, Ww - 1.001)
-            y = jnp.clip(self.map_y, 0.0, Hh - 1.001)
-            x0 = jnp.floor(x).astype(jnp.int32)
-            y0 = jnp.floor(y).astype(jnp.int32)
-            fx_ = x - x0
-            fy_ = y - y0
-            i00 = img[y0, x0]
-            i01 = img[y0, x0 + 1]
-            i10 = img[y0 + 1, x0]
-            i11 = img[y0 + 1, x0 + 1]
-            return (i00 * (1 - fy_) * (1 - fx_) + i01 * (1 - fy_) * fx_
-                    + i10 * fy_ * (1 - fx_) + i11 * fy_ * fx_)
-
-        self._remap = jax.jit(remap)
+        # remap runs on HOST as part of dataset IO (the reference's
+        # cv::remap is host-side too, opencv_image.cpp): per-pixel 2D-warp
+        # gathers are pathological on TPU, and doing them there would also
+        # ship the full-rate image stream through an extra device round
+        # trip. Precompute integer indices + bilinear weights once.
+        mx = np.clip(Xd * fx + cx, 0.0, W - 1.001)
+        my = np.clip(Yd * fy + cy, 0.0, H - 1.001)
+        x0 = np.floor(mx).astype(np.int32)
+        y0 = np.floor(my).astype(np.int32)
+        self._x0, self._y0 = x0, y0
+        self._fx = (mx - x0).astype(np.float32)
+        self._fy = (my - y0).astype(np.float32)
+        self.map_x = mx.astype(np.float32)
+        self.map_y = my.astype(np.float32)
 
     def apply(self, img):
-        return self._remap(jnp.asarray(img, jnp.float32))
+        """Bilinear remap (host numpy). uint8 in -> uint8 out (the
+        pipeline's native transfer format); float stays float32."""
+        src = np.asarray(img)
+        was_u8 = src.dtype == np.uint8
+        f = src.astype(np.float32)
+        # guard against sources smaller than the table's target geometry
+        x0 = np.minimum(self._x0, src.shape[1] - 2)
+        y0 = np.minimum(self._y0, src.shape[0] - 2)
+        fx_, fy_ = self._fx, self._fy
+        out = ((f[y0, x0] * (1 - fy_) + f[y0 + 1, x0] * fy_) * (1 - fx_)
+               + (f[y0, x0 + 1] * (1 - fy_) + f[y0 + 1, x0 + 1] * fy_) * fx_)
+        if was_u8:
+            return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+        return out
