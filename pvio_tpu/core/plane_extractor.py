@@ -67,6 +67,7 @@ class PlaneExtractor:
         self._find_plane = jax.jit(
             lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask, threshold=thr)
         )
+        self._pending = None  # in-flight async detection (issue_detection)
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -157,6 +158,9 @@ class PlaneExtractor:
         (plane_extractor.cpp:83-104). Synchronous variant: one detection
         per keyframe."""
         rec = self.detect(hw)
+        self._promote(hw, rec)
+
+    def _promote(self, hw, rec):
         if rec is None:
             return
         free = np.nonzero(~hw.plane_mask)[0]
@@ -176,6 +180,64 @@ class PlaneExtractor:
         pts = self._landmarks(hw)[rec["cols"]]
         self.areas[slot] = sa.insert(
             sa.SectorArea.empty(rec["reference_point"], basis), pts)
+
+    # ------------------------------------------------------------------
+    # asynchronous detection (the reference's PlaneExtractor is a worker:
+    # issue_extraction schedules RANSAC off the tracking thread,
+    # plane_extractor.cpp:106-110; update_map consumes the finished
+    # record at a later keyframe). Here: the RANSAC dispatch is issued
+    # fire-and-forget at keyframe k, its outputs ride the SOLVER's batched
+    # device->host fetch, and the record is promoted at keyframe k+1 —
+    # zero extra synchronization points.
+    # ------------------------------------------------------------------
+    def issue_detection(self, hw):
+        """Host gating + device RANSAC dispatch, NO fetch. Returns device
+        outputs to fold into the caller's batched fetch (or None)."""
+        self._pending = None
+        pts = self._landmarks(hw)
+        is_valid = (hw.track_flags & TF_VALID).astype(bool)
+        is_plane = (hw.track_flags & TF_PLANE).astype(bool)
+        baseline = self._baseline(hw, pts)
+        good = (
+            hw.track_mask & is_valid & ~is_plane
+            & (hw.track_life >= 4) & (hw.quality < 2.0)
+            & ((baseline > 0.5)
+               | ((hw.inv_depth < 5.0) & (baseline * np.abs(hw.inv_depth) > 0.5)))
+        )
+        if good.sum() < self.min_inliers:
+            return None
+        pts_d, good_d = jax.device_put((pts.astype(self.k.dtype), good))
+        out = self._find_plane(self._next_key(), pts_d, good_d)[2:]
+        self._pending = {"pts": pts, "good": good,
+                         "track_id": hw.track_id.copy()}
+        return out
+
+    def store_pending_result(self, fetched):
+        """Record the (inliers, count) fetched by the caller's batched
+        device->host round trip."""
+        if self._pending is not None and fetched is not None:
+            inl, count = fetched
+            self._pending["inl"] = np.array(inl)
+            self._pending["count"] = int(count)
+
+    def promote_pending(self, hw):
+        """Promote the previous keyframe's detection (update_map role).
+        Columns recycled to a different track since issue time are
+        dropped (the reference's worker snapshot is protected by the map
+        lock; here track-id matching provides the same guarantee)."""
+        p, self._pending = getattr(self, "_pending", None), None
+        if p is None or "inl" not in p or p["count"] <= self.min_inliers:
+            return
+        inl = (p["inl"] & p["good"] & hw.track_mask
+               & (hw.track_id == p["track_id"])
+               & ((hw.track_flags & TF_PLANE) == 0))
+        if inl.sum() <= self.min_inliers:
+            return
+        n2, d2, cog = _refine_plane_pca_np(p["pts"], inl)
+        self._promote(hw, {
+            "normal": n2, "distance": d2,
+            "reference_point": cog, "cols": np.nonzero(inl)[0],
+        })
 
     # ------------------------------------------------------------------
     def extend_planes(self, hw, extend_rpe_ratio=1.2):

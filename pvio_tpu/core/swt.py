@@ -96,19 +96,28 @@ class SlidingWindowTracker:
             )
             self._write_observations(slot, new_obs)
             self._triangulate_new()
+            pend_dev = None
             if self.planes is not None:
-                self.planes.update_map(self.hw)
+                # async plane worker (plane_extractor.cpp:106-110): promote
+                # LAST keyframe's detection, then issue this keyframe's —
+                # its outputs ride the BA fetch below
+                self.planes.promote_pending(self.hw)
                 self.planes.extend_planes(self.hw)
             # fused keyframe solve: (initial prior if absent) + delta
             # re-integration + full VI BA — ONE upload, ONE dispatch,
-            # ONE fetch (incl. solver info + forensics landmark cloud)
+            # ONE fetch (incl. solver info, forensics landmark cloud and
+            # the async plane-RANSAC outputs)
             w, ops = hw.to_device(extra=self._imu_ops_host())
+            if self.planes is not None:
+                pend_dev = self.planes.issue_detection(self.hw)
             with forensics.timer("bundle_adjustor_solve_time"):
                 w, info, xw_dev = self.k.ba_step(
                     w, *ops, not hw.prior_valid)
                 jax.block_until_ready(w.p)
             hw.prior_valid = True
-            info, xw = hw.from_device(w, extra=(info, xw_dev))
+            info, xw, pend_h = hw.from_device(w, extra=(info, xw_dev, pend_dev))
+            if self.planes is not None:
+                self.planes.store_pending_result(pend_h)
             forensics.set("solver_info", {k_: float(v) for k_, v in info.items()})
             forensics.set("sliding_window_landmarks",
                           int(((hw.track_flags & (TF_VALID | TF_PLANE)) != 0).sum()))
