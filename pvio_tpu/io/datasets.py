@@ -97,9 +97,13 @@ class TumDatasetReader(EurocDatasetReader):
     remapped with an equidistant undistorter (tum_dataset_reader.cpp:73-81)."""
 
 
-def open_dataset(url, config=None):
+def open_dataset(url, config=None, native=True):
     """URL-scheme dispatch (dataset_reader.cpp:34-46):
-    euroc://<path>, tum://<path>."""
+    euroc://<path>, tum://<path>.
+
+    `native=True` prefers the C++ loader (csrc/pvio_loader.cpp: CSV parse,
+    libpng decode, prefetch thread) when buildable, mirroring the
+    reference's C++ readers; falls back to the Python reader."""
     if "://" not in url:
         scheme, path = "euroc", url
     else:
@@ -108,6 +112,13 @@ def open_dataset(url, config=None):
     if config is not None and config.camera_distortion is not None:
         und = ImageUndistorter(config.K, config.camera_distortion,
                                config.camera_distortion_model, config.image_size)
+    if scheme in ("euroc", "tum") and native:
+        try:
+            from pvio_tpu.io.native_loader import NativeEurocReader
+
+            return NativeEurocReader(path, und)
+        except Exception:
+            pass  # fall through to the Python reader
     if scheme == "euroc":
         return EurocDatasetReader(path, und)
     if scheme == "tum":

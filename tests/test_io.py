@@ -117,8 +117,54 @@ def test_euroc_reader_stream_order(tmp_path):
     ts = [e[1] for e in events]
     assert ts == sorted(ts)
     cam_events = [e for e in events if e[0] == "camera"]
-    assert cam_events[0][2].shape == (240, 320)
-    assert 0.0 <= cam_events[0][2].max() <= 1.0
+    img = cam_events[0][2]
+    assert img.shape == (240, 320)
+    # native loader yields uint8 (the pipeline's transfer format); the
+    # Python fallback yields float in [0, 1]
+    if img.dtype == np.uint8:
+        assert img.max() <= 255
+    else:
+        assert 0.0 <= img.max() <= 1.0
+
+
+def test_native_loader_matches_python(tmp_path):
+    """C++ loader (CSV + image decode + prefetch) must stream the same
+    events as the Python reader (euroc_dataset_reader.cpp role)."""
+    from pvio_tpu.io import native_loader
+
+    if not native_loader.available():
+        import pytest
+
+        pytest.skip("native loader not buildable")
+    cfg = Config()
+    cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
+    cfg.image_size = (320, 240)
+    scene = synthetic.make_scene(duration=0.5, n_points=50)
+    _write_mini_euroc(tmp_path, scene, cfg.K, cfg.image_size, n_frames=5)
+    # also exercise the PNG decode path
+    from PIL import Image as PILImage
+
+    png_img = (np.clip(synthetic.render_frame(scene, 0, cfg.K, cfg.image_size),
+                       0, 1) * 255).astype(np.uint8)
+    t_png = int((scene.frame_t[-1] + 0.05) * 1e9)
+    PILImage.fromarray(png_img).save(tmp_path / "mav0" / "cam0" / "data" / f"{t_png}.png")
+    with open(tmp_path / "mav0" / "cam0" / "data.csv", "a") as f:
+        f.write(f"{t_png},{t_png}.png\n")
+
+    nat = list(native_loader.NativeEurocReader(tmp_path))
+    py = list(EurocDatasetReader(tmp_path))
+    assert [(k, round(t, 9)) for k, t, _ in nat] == \
+           [(k, round(t, 9)) for k, t, _ in py]
+    for (kn, tn, pn), (kp, tp_, pp) in zip(nat, py):
+        if kn in ("gyroscope", "accelerometer"):
+            np.testing.assert_allclose(pn, pp, rtol=1e-12)
+        else:
+            assert pn.dtype == np.uint8 and pn.shape == pp.shape
+            pyu8 = np.clip(pp * 255.0 + 0.5, 0, 255).astype(np.int32)
+            diff = np.abs(pn.astype(np.int32) - pyu8)
+            assert diff.max() <= 1  # rounding at the quantization boundary
+    # the PNG frame decoded natively must equal the array we encoded
+    assert np.array_equal(nat[-1][2], png_img)
 
 
 def test_sensors_log_roundtrip_and_dispatch_order(tmp_path):
