@@ -136,7 +136,10 @@ Image decode_pgm(const std::string &path) {
         std::vector<uint8_t> raw(out.gray.size() * 2);
         f.read(reinterpret_cast<char *>(raw.data()), raw.size());
         for (size_t i = 0; i < out.gray.size(); i++) {
-            out.gray[i] = raw[2 * i];  // big-endian high byte
+            // big-endian 16-bit sample scaled by maxval (not just the high
+            // byte — that is only correct for maxval == 65535)
+            uint32_t v16 = (static_cast<uint32_t>(raw[2 * i]) << 8) | raw[2 * i + 1];
+            out.gray[i] = static_cast<uint8_t>((v16 * 255 + maxv / 2) / maxv);
         }
     }
     out.ok = static_cast<bool>(f);
@@ -179,24 +182,28 @@ Image decode_npy(const std::string &path) {
     out.width = static_cast<int>(w);
     size_t n = static_cast<size_t>(h) * w;
     out.gray.resize(n);
+    // float arrays: decide the [0,1]-vs-[0,255] range question on the
+    // GLOBAL max, exactly like the Python reader (datasets._load_image) —
+    // a per-pixel heuristic would blow dark pixels of a 0-255 image up
+    auto store_float = [&](auto const &buf) {
+        double mx = 0.0;
+        for (size_t i = 0; i < n; i++) mx = std::max(mx, static_cast<double>(buf[i]));
+        const double scale = (mx <= 1.5) ? 255.0 : 1.0;
+        for (size_t i = 0; i < n; i++) {
+            double v = static_cast<double>(buf[i]) * scale;
+            out.gray[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5));
+        }
+    };
     if (header.find("u1'") != std::string::npos) {
         f.read(reinterpret_cast<char *>(out.gray.data()), n);
     } else if (header.find("<f4'") != std::string::npos) {
         std::vector<float> buf(n);
         f.read(reinterpret_cast<char *>(buf.data()), n * 4);
-        for (size_t i = 0; i < n; i++) {
-            float v = buf[i];
-            if (v <= 1.5f) v *= 255.0f;  // [0,1] floats scale up
-            out.gray[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5f));
-        }
+        store_float(buf);
     } else if (header.find("<f8'") != std::string::npos) {
         std::vector<double> buf(n);
         f.read(reinterpret_cast<char *>(buf.data()), n * 8);
-        for (size_t i = 0; i < n; i++) {
-            double v = buf[i];
-            if (v <= 1.5) v *= 255.0;
-            out.gray[i] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5));
-        }
+        store_float(buf);
     } else {
         return out;
     }
@@ -339,6 +346,13 @@ void *loader_open(const char *root_c) {
         delete L;
         return nullptr;
     }
+    // the prefetch thread decodes in cam-row order while events are
+    // time-sorted — sort the rows first so decode order always matches
+    // consumption order even for unsorted CSVs
+    std::stable_sort(L->cam.begin(), L->cam.end(),
+                     [](const CamRow &a, const CamRow &b) { return a.t < b.t; });
+    std::stable_sort(L->imu.begin(), L->imu.end(),
+                     [](const ImuRow &a, const ImuRow &b) { return a.t < b.t; });
     L->events.reserve(L->imu.size() * 2 + L->cam.size());
     for (size_t i = 0; i < L->imu.size(); i++) {
         L->events.push_back({L->imu[i].t, 0, static_cast<int>(i), -1});
@@ -357,6 +371,21 @@ void *loader_open(const char *root_c) {
 
 void loader_close(void *h) { delete static_cast<Loader *>(h); }
 
+// Reset to the first event and restart the prefetch thread, so a stream
+// can be replayed (EurocDatasetReader replays on every iteration).
+void loader_rewind(void *h) {
+    auto *L = static_cast<Loader *>(h);
+    L->stop = true;
+    L->cv_full.notify_all();
+    L->cv_empty.notify_all();
+    if (L->worker.joinable()) L->worker.join();
+    L->queue.clear();
+    L->last = Image();
+    L->cursor = 0;
+    L->stop = false;
+    L->start_prefetch();
+}
+
 int64_t loader_counts(void *h, int64_t *n_imu, int64_t *n_cam) {
     auto *L = static_cast<Loader *>(h);
     *n_imu = static_cast<int64_t>(L->imu.size());
@@ -372,6 +401,7 @@ int64_t loader_counts(void *h, int64_t *n_imu, int64_t *n_cam) {
 int loader_next(void *h, double *t, double *vec3, uint8_t *img_buf,
                 int64_t capacity, int64_t *width, int64_t *height) {
     auto *L = static_cast<Loader *>(h);
+    if (!L) return -1;  // closed handle: end-of-stream, not a segfault
     if (L->cursor >= L->events.size()) return -1;
     const Event ev = L->events[L->cursor++];
     *t = ev.t;

@@ -190,7 +190,7 @@ class HostWindow:
         fetched, extra_h = jax.device_get((
             (w.q, w.p, w.v, w.bg, w.ba, w.inv_depth,
              w.track_flags, w.quality, w.ref_frame,
-             w.track_mask, w.kp, w.obs_mask,
+             w.track_mask, w.kp, w.obs_mask, w.plane_id,
              w.plane_normal, w.plane_distance,
              w.plane_mask, w.frame_mask), extra))
         # np.array: the fetched buffers can be read-only views; the host
@@ -199,8 +199,9 @@ class HostWindow:
          self.track_flags, self.quality, self.ref_frame, self.track_mask,
          # kp/obs_mask are host-owned topology, but device-side
          # marginalization shifts frame slots — mirror them back so the
-         # grids stay aligned with the shifted frame rows
-         self.kp, self.obs_mask,
+         # grids stay aligned with the shifted frame rows; plane_id comes
+         # back because the post-BA plane-track escape clears it device-side
+         self.kp, self.obs_mask, self.plane_id,
          self.plane_normal, self.plane_distance, self.plane_mask,
          self.frame_mask) = [np.array(a) for a in fetched]
         self.prior = w.prior

@@ -46,6 +46,8 @@ def _kernel_cache_key(config):
         bool(config.enable_plane_constraint),
         float(config.plane_distance_cov),
         int(config.plane_min_tracks),
+        int(getattr(config, "plane_min_track_life", 10)),
+        float(getattr(config, "plane_escape_distance", 0.1)),
         int(config.imu_buffer_capacity),
         float(config.kp_sqrt_inv_cov),
         h(config.K), h(config.q_bc), h(config.p_bc),
@@ -306,26 +308,7 @@ class DeviceKernels:
             """Multi-view DLT for every track column from current window
             poses (Track::triangulate, track.cpp:61-106). Returns
             (inv_depth (T,), ok (T,))."""
-            F, T = w.kp.shape[0], w.kp.shape[1]
-            q_ws = lie.quat_mul(w.q, jnp.broadcast_to(extr.q_bc, w.q.shape))
-            p_ws = w.p + lie.quat_rotate(w.q, jnp.broadcast_to(extr.p_bc, w.p.shape))
-            R_sw = lie.quat_to_mat(lie.quat_conj(q_ws))
-            t_sw = -jnp.einsum("fij,fj->fi", R_sw, p_ws)
-            Ps = jnp.concatenate([R_sw, t_sw[..., None]], axis=-1)  # (F, 3, 4)
-            obs = w.obs_mask & w.frame_mask[:, None]
-
-            def one(kps, m):
-                pt, ok, score = triangulation.triangulate_scored(Ps, kps, m)
-                return pt, ok & (jnp.sum(m) >= 2)
-
-            pts, ok = jax.vmap(one, in_axes=(1, 1))(w.kp, obs)  # (T, 3)
-            # inverse depth in the reference frame
-            q_ref = q_ws[w.ref_frame]
-            p_ref = p_ws[w.ref_frame]
-            y = lie.quat_rotate(lie.quat_conj(q_ref), pts - p_ref)
-            z = y[..., 2]
-            ok = ok & (z > 1e-3) & (z < triangulation.MAX_DEPTH)
-            inv_d = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+            _, inv_d, ok = win.triangulate_tracks(w, extr)
             return inv_d, ok
 
         self.triangulate_tracks = jax.jit(triangulate_tracks)
@@ -387,20 +370,29 @@ class DeviceKernels:
 
         self.pnp_step = jax.jit(pnp_step)
 
-        def ba_step(w, ts, ws, accs, mask, t_frames, make_prior):
+        def ba_step(w, ts, ws, accs, mask, t_frames, track_life, make_prior):
             """Fused keyframe solve, ONE dispatch: (optionally) create the
             initial marginalization prior, re-integrate every frame
             interval at current biases, run the full visual-inertial BA,
-            and return the post-solve landmark cloud for forensics
+            apply the post-solve plane-track escape, and return the
+            landmark cloud for forensics
             (sliding_window_tracker.cpp:90-113 + 138-245)."""
             if make_prior:
                 w = w._replace(prior=marg_mod.make_initial_prior(w))
             w = attach_deltas(w, ts, ws, accs, mask, t_frames)
             w2, info = ba_mod.solve(w, extr, self.ba_cfg)
+            if cfg.enable_plane_constraint:
+                # bad plane adoptions escape back to free points
+                # (bundle_adjustor.cpp:251-275)
+                w2 = ba_mod.plane_track_escape(
+                    w2, extr, track_life,
+                    min_life=int(getattr(cfg, "plane_min_track_life", 10)),
+                    escape_dist=float(getattr(cfg, "plane_escape_distance", 0.1)),
+                )
             w2 = ba_mod.post_solve_update(w2, extr, K)
             return w2, info, win.landmark_points(w2, extr)
 
-        self.ba_step = jax.jit(ba_step, static_argnums=(6,))
+        self.ba_step = jax.jit(ba_step, static_argnums=(7,))
 
         def marg_step(w, ts, ws, accs, mask, t_frames):
             """Fused marginalization, ONE dispatch: attach deltas, rebase

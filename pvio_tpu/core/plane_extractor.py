@@ -64,6 +64,9 @@ class PlaneExtractor:
         self.areas = {}  # plane slot -> SectorArea (utility/sector_area.h role)
         thr = float(getattr(config, "plane_ransac_threshold", 0.03))
         self.min_inliers = int(getattr(config, "plane_min_inliers", 30))
+        # life >= 10 gate (plane_extractor.cpp:47); config knob so short
+        # synthetic test scenes can lower it without silent deviations
+        self.min_track_life = int(getattr(config, "plane_min_track_life", 10))
         self._find_plane = jax.jit(
             lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask, threshold=thr)
         )
@@ -98,32 +101,60 @@ class PlaneExtractor:
         return hw.p + nplie.quat_rotate(hw.q, np.tile(p_bc, (hw.F, 1)))
 
     def _baseline(self, hw, pts):
-        """Max camera-center separation over each track's observations
-        (Track::compute_baseline, track.cpp:120-135)."""
-        centers = self._camera_centers(hw)  # (F, 3)
+        """Per-track baseline: sum of body-position distances between
+        consecutive observing frames (Track::compute_baseline,
+        track.cpp:125-136). Slot order is time order."""
+        F, T = hw.obs_mask.shape
         obs = hw.obs_mask & hw.frame_mask[:, None]
-        first = np.argmax(obs, axis=0)
-        rev = np.argmax(obs[::-1], axis=0)
-        last = hw.F - 1 - rev
-        return np.linalg.norm(centers[last] - centers[first], axis=-1)
+        idx = np.where(obs, np.arange(F)[:, None], -1)
+        prev = np.maximum.accumulate(idx, axis=0)
+        prev = np.concatenate([-np.ones((1, T), int), prev[:-1]], axis=0)
+        seg = obs & (prev >= 0)
+        d = np.linalg.norm(
+            hw.p[:, None, :] - hw.p[np.clip(prev, 0, F - 1)], axis=-1)
+        return (seg * d).sum(axis=0)
 
     def _rpe(self, hw, col, point):
         """Mean pixel reprojection error of `point` over the track's
-        observations (plane_extractor.cpp:184-198)."""
+        observations (plane_extractor.cpp:184-198). Scalar convenience
+        wrapper over the batched kernel."""
+        return float(self._rpe_batch(hw, np.asarray(point)[None, None, :],
+                                     cols=np.array([col]))[0, 0])
+
+    def _rpe_batch(self, hw, points, cols=None):
+        """Batched compute_reprojection_error (plane_extractor.cpp:184-198):
+        mean pixel reprojection error of candidate `points` (C, M, 3) over
+        each track's observing frames. `cols` selects the C track columns
+        (default: all T). Returns (C, M); +inf where a candidate point
+        falls behind any observing camera or the track has no
+        observations. One einsum over the whole (F, C, M) grid — no
+        per-track/per-frame Python loops."""
         K = self.cfg.K
         fx, fy = K[0, 0], K[1, 1]
         q_bc = np.asarray(self.cfg.q_bc)
         p_bc = np.asarray(self.cfg.p_bc)
-        errs = []
-        for f in np.nonzero(hw.obs_mask[:, col] & hw.frame_mask)[0]:
-            q_wc = nplie.quat_mul(hw.q[f], q_bc)
-            p_wc = hw.p[f] + nplie.quat_to_mat(hw.q[f]) @ p_bc
-            y = nplie.quat_to_mat(q_wc).T @ (point - p_wc)
-            if y[2] <= 1e-9:
-                return np.inf
-            z = hw.kp[f, col]
-            errs.append(np.hypot((y[0] / y[2] - z[0]) * fx, (y[1] / y[2] - z[1]) * fy))
-        return np.mean(errs) if errs else np.inf
+        F = hw.F
+        R_wb = nplie.quat_to_mat(hw.q)                      # (F, 3, 3)
+        R_wc = R_wb @ nplie.quat_to_mat(q_bc)[None]
+        p_wc = hw.p + np.einsum("fij,j->fi", R_wb, p_bc)    # (F, 3)
+        obs = (hw.obs_mask & hw.frame_mask[:, None])
+        kp = hw.kp
+        if cols is not None:
+            obs = obs[:, cols]
+            kp = kp[:, cols]
+        pts = np.asarray(points, float)                     # (C, M, 3)
+        d = pts[None] - p_wc[:, None, None, :]              # (F, C, M, 3)
+        y = np.einsum("fji,fcmj->fcmi", R_wc, d)            # R_wc^T @ d
+        z = y[..., 2]
+        safe_z = np.where(np.abs(z) < 1e-12, 1e-12, z)
+        ex = (y[..., 0] / safe_z - kp[..., 0][..., None]) * fx
+        ey = (y[..., 1] / safe_z - kp[..., 1][..., None]) * fy
+        err = np.hypot(ex, ey)                              # (F, C, M)
+        om = np.broadcast_to(obs[..., None], err.shape)     # (F, C, M)
+        cnt = om.sum(axis=0)                                # (C, M)
+        mean = np.where(om, err, 0.0).sum(axis=0) / np.maximum(cnt, 1)
+        bad = np.any(om & (z <= 1e-9), axis=0)
+        return np.where(bad | (cnt == 0), np.inf, mean)
 
     # ------------------------------------------------------------------
     def detect(self, hw):
@@ -135,7 +166,7 @@ class PlaneExtractor:
         baseline = self._baseline(hw, pts)
         good = (
             hw.track_mask & is_valid & ~is_plane
-            & (hw.track_life >= 4) & (hw.quality < 2.0)
+            & (hw.track_life >= self.min_track_life) & (hw.quality < 2.0)
             & ((baseline > 0.5)
                | ((hw.inv_depth < 5.0) & (baseline * np.abs(hw.inv_depth) > 0.5)))
         )
@@ -200,7 +231,7 @@ class PlaneExtractor:
         baseline = self._baseline(hw, pts)
         good = (
             hw.track_mask & is_valid & ~is_plane
-            & (hw.track_life >= 4) & (hw.quality < 2.0)
+            & (hw.track_life >= self.min_track_life) & (hw.quality < 2.0)
             & ((baseline > 0.5)
                | ((hw.inv_depth < 5.0) & (baseline * np.abs(hw.inv_depth) > 0.5)))
         )
@@ -242,62 +273,75 @@ class PlaneExtractor:
     # ------------------------------------------------------------------
     def extend_planes(self, hw, extend_rpe_ratio=1.2):
         """Adopt VALID tracks onto planes by ray-casting
-        (plane_extractor.cpp:112-161)."""
-        if not hw.plane_mask.any():
+        (plane_extractor.cpp:112-161). Fully vectorized over the
+        (tracks x planes) grid: ray-cast, parallel/cheirality gates and
+        batched reprojection errors are numpy array ops; only the final
+        per-adopted-track bookkeeping loops (a handful per keyframe)."""
+        slots = np.nonzero(hw.plane_mask)[0]
+        if len(slots) == 0:
             return
         pts = self._landmarks(hw)
         q_bc = np.asarray(self.cfg.q_bc)
         p_bc = np.asarray(self.cfg.p_bc)
-        member_pts = {
-            s: pts[(hw.plane_id == s) & hw.track_mask]
-            for s in np.nonzero(hw.plane_mask)[0]
-        }
-        for c in np.nonzero(hw.track_mask)[0]:
-            if not (hw.track_flags[c] & TF_VALID):
+        flags = hw.track_flags
+        cand = hw.track_mask & ((flags & TF_VALID) != 0) & ((flags & TF_PLANE) == 0)
+        cols = np.nonzero(cand)[0]
+        if len(cols) == 0:
+            return
+        C, P = len(cols), len(slots)
+        ref = hw.ref_frame[cols]
+        R_ref = nplie.quat_to_mat(hw.q[ref])                 # (C, 3, 3)
+        R_wc = R_ref @ nplie.quat_to_mat(q_bc)[None]
+        o = hw.p[ref] + np.einsum("cij,j->ci", R_ref, p_bc)  # (C, 3)
+        kp_ref = hw.kp[ref, cols]                            # (C, 2)
+        bearing = np.einsum(
+            "cij,cj->ci", R_wc,
+            np.concatenate([kp_ref, np.ones((C, 1))], axis=-1))
+        n = hw.plane_normal[slots]                           # (P, 3)
+        dist = hw.plane_distance[slots]                      # (P,)
+        denom = bearing @ n.T                                # (C, P)
+        # is_parallel gate: ray within ~20 deg of the plane
+        not_parallel = (np.abs(denom)
+                        >= np.linalg.norm(bearing, axis=-1, keepdims=True)
+                        * np.sin(np.deg2rad(20)))
+        safe_denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        s_len = (dist[None, :] - o @ n.T) / safe_denom       # (C, P)
+        cast = o[:, None, :] + s_len[..., None] * bearing[:, None, :]  # (C, P, 3)
+        # cheirality in the reference camera
+        y = np.einsum("cji,cpj->cpi", R_wc, cast - o[:, None, :])
+        valid = not_parallel & (y[..., 2] >= 0)              # (C, P)
+        rpe_before = self._rpe_batch(hw, pts[cols, None, :], cols=cols)[:, 0]
+        rpe_after = np.where(valid,
+                             self._rpe_batch(hw, cast, cols=cols), np.inf)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            passes = (rpe_after / np.maximum(rpe_before, 1e-12)[:, None]
+                      < extend_rpe_ratio) | (rpe_after < 0.5)
+        passes &= valid
+        # polar-sector near-boundary gate, batched per plane
+        # (plane_extractor.cpp:131-140, sector_area.h:57-118)
+        near = np.zeros((C, P), bool)
+        for j, s in enumerate(slots):
+            area = self.areas.get(int(s))
+            if area is None:
                 continue
-            if hw.track_flags[c] & TF_PLANE:
-                continue
-            ref = hw.ref_frame[c]
-            q_wc = nplie.quat_mul(hw.q[ref], q_bc)
-            o = hw.p[ref] + nplie.quat_to_mat(hw.q[ref]) @ p_bc
-            bearing = nplie.quat_to_mat(q_wc) @ np.concatenate([hw.kp[ref, c], [1.0]])
-            rpe_before = self._rpe(hw, c, pts[c])
-            best_rpe = np.inf
-            best_point = None
-            best_slot = -1
-            adopted = False
-            for s in np.nonzero(hw.plane_mask)[0]:
-                nrm = hw.plane_normal[s]
-                denom = np.dot(nrm, bearing)
-                # is_parallel gate: ray within ~20 deg of the plane
-                if abs(denom) / np.linalg.norm(bearing) < np.sin(np.deg2rad(20)):
-                    continue
-                s_len = (hw.plane_distance[s] - np.dot(nrm, o)) / denom
-                plane_point = o + s_len * bearing
-                y = nplie.quat_to_mat(q_wc).T @ (plane_point - o)
-                if y[2] < 0:
-                    continue
-                rpe_after = self._rpe(hw, c, plane_point)
-                if rpe_after < best_rpe:
-                    best_rpe = rpe_after
-                    best_point = plane_point
-                    best_slot = s
-                if rpe_after / max(rpe_before, 1e-12) < extend_rpe_ratio or rpe_after < 0.5:
-                    # polar-sector near-boundary gate
-                    # (plane_extractor.cpp:131-140, sector_area.h:57-118)
-                    area = self.areas.get(s)
-                    if area is None:
-                        continue
-                    if sa.is_near_boundary(area, plane_point, True, 1.2, 0.1):
-                        adopted = True
-            if adopted and best_slot >= 0:
-                hw.track_flags[c] |= TF_PLANE
-                hw.plane_id[c] = best_slot
-                # move the landmark onto the best plane point
-                self._set_landmark(hw, c, best_point)
-                if best_slot in self.areas:
-                    self.areas[best_slot] = sa.insert(
-                        self.areas[best_slot], best_point[None])
+            m = passes[:, j]
+            if m.any():
+                near[m, j] = sa.is_near_boundary_batch(
+                    area, cast[m, j], True, 1.2, 0.1)
+        adopted = (passes & near).any(axis=1)
+        best_j = np.argmin(rpe_after, axis=1)                # (C,)
+        best_ok = np.isfinite(rpe_after[np.arange(C), best_j])
+        for i in np.nonzero(adopted & best_ok)[0]:
+            c = int(cols[i])
+            j = int(best_j[i])
+            s_best = int(slots[j])
+            hw.track_flags[c] |= TF_PLANE
+            hw.plane_id[c] = s_best
+            # move the landmark onto the best plane point
+            self._set_landmark(hw, c, cast[i, j])
+            if s_best in self.areas:
+                self.areas[s_best] = sa.insert(
+                    self.areas[s_best], cast[i, j][None])
 
     def _set_landmark(self, hw, col, point):
         """Re-express a world point as inverse depth in the reference
@@ -315,7 +359,7 @@ class PlaneExtractor:
     def merge_planes(self, hw):
         """Merge near-coplanar overlapping planes
         (plane_extractor.cpp:163-182)."""
-        slots = list(np.nonzero(hw.plane_mask)[0])
+        pts = self._landmarks(hw)  # landmarks don't move during merging
         changed = True
         while changed:
             changed = False
@@ -329,7 +373,6 @@ class PlaneExtractor:
                         continue
                     mi = (hw.plane_id == i) & hw.track_mask
                     mj = (hw.plane_id == j) & hw.track_mask
-                    pts = self._landmarks(hw)
                     if mi.sum() == 0 or mj.sum() == 0:
                         overlap = 1.0
                     else:

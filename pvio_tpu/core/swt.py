@@ -107,7 +107,8 @@ class SlidingWindowTracker:
             # re-integration + full VI BA — ONE upload, ONE dispatch,
             # ONE fetch (incl. solver info, forensics landmark cloud and
             # the async plane-RANSAC outputs)
-            w, ops = hw.to_device(extra=self._imu_ops_host())
+            w, ops = hw.to_device(
+                extra=self._imu_ops_host() + (hw.track_life.copy(),))
             if self.planes is not None:
                 pend_dev = self.planes.issue_detection(self.hw)
             with forensics.timer("bundle_adjustor_solve_time"):
@@ -163,12 +164,12 @@ class SlidingWindowTracker:
             self._triangulate_new()
 
         # --- prune tracks with quality > 3.0 (:123-125, map.cpp:125-135) ---
-        for c in np.nonzero(hw.track_mask)[0]:
-            flags = hw.track_flags[c]
-            bad_valid = (not (flags & TF_VALID)) or hw.quality[c] > 3.0
-            bad_plane = (not (flags & TF_PLANE)) or hw.quality[c] > 3.0
-            if bad_valid and bad_plane:
-                hw.release_column(int(c))
+        # vectorized predicate; only released columns loop (dict bookkeeping)
+        bad = hw.track_mask & (
+            (hw.quality > 3.0)
+            | ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0))
+        for c in np.nonzero(bad)[0]:
+            hw.release_column(int(c))
 
         if tail_was_keyframe and self.planes is not None:
             self.planes.merge_planes(self.hw)

