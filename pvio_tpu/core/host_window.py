@@ -98,7 +98,13 @@ class HostWindow:
         return slot
 
     def _refresh_track_columns(self):
-        """Recompute ref_frame / life; release columns with < 1 obs."""
+        """Recompute ref_frame; release columns with < 1 obs. `track_life`
+        is intentionally NOT recomputed: the reference's Track::life is a
+        monotonic total-observation counter that never decreases when
+        frames leave the map (track.cpp:36 — add_keypoint increments,
+        remove_keypoint does not decrement), so it can exceed the window
+        length — which is what the life >= 10 plane-maturity gate
+        (plane_extractor.cpp:47) relies on with an 8-frame window."""
         obs = self.obs_mask & self.frame_mask[:, None]
         cnt = obs.sum(axis=0)
         dead = self.track_mask & (cnt == 0)
@@ -106,7 +112,6 @@ class HostWindow:
             self.release_column(int(c))
         alive = self.track_mask & (cnt > 0)
         self.ref_frame[alive] = np.argmax(obs[:, alive], axis=0)
-        self.track_life[alive] = cnt[alive]
 
     # ------------------------------------------------------------------
     # track columns

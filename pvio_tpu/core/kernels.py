@@ -47,6 +47,7 @@ def _kernel_cache_key(config):
         float(config.plane_distance_cov),
         int(config.plane_min_tracks),
         int(getattr(config, "plane_min_track_life", 10)),
+        int(getattr(config, "plane_escape_min_life", 10)),
         float(getattr(config, "plane_escape_distance", 0.1)),
         int(config.imu_buffer_capacity),
         float(config.kp_sqrt_inv_cov),
@@ -342,13 +343,21 @@ class DeviceKernels:
 
         self.plane_points = jax.jit(plane_points)
 
-        def pnp_step(w, tp, wp, ap, mp, t_new, tail_idx, z_obs, pnp_mask):
+        def pnp_step(w, tp, wp, ap, mp, t_new, tail_idx, z_obs, pnp_mask,
+                     obs_new, kf_idx):
             """Fused per-frame motion step, ONE dispatch: preintegrate the
             tail->new IMU span at the tail's bias, forward-predict, form
-            landmark points (plane tracks ray-cast onto their plane), and
-            run motion-only visual-inertial PnP
-            (sliding_window_tracker.cpp:75-79 + pnp.cpp:32-100). Returns
-            (q1, p1, v1, bg1, ba1, delta_q)."""
+            landmark points (plane tracks ray-cast onto their plane), run
+            motion-only visual-inertial PnP
+            (sliding_window_tracker.cpp:75-79 + pnp.cpp:32-100), then —
+            riding the same fetch — triangulate fresh tracks with the new
+            frame as a virtual extra view (track.cpp:61-106) and compute
+            the rotation-compensated keyframe-decision statistic
+            (80th-percentile parallax vs the last keyframe + common-track
+            count, sliding_window_tracker.cpp:255-296). Packing these into
+            the one PnP fetch removes two per-frame device syncs. Returns
+            (q1, p1, v1, bg1, ba1, delta_q, inv_d, tri_ok, p80_px,
+            n_common)."""
             tail_q = w.q[tail_idx]
             tail_p = w.p[tail_idx]
             tail_v = w.v[tail_idx]
@@ -366,7 +375,33 @@ class DeviceKernels:
                 tail_ba, delta, tail_bg, tail_ba, x_world, z_obs, pnp_mask,
                 extr, self.pnp_cfg,
             )
-            return q1, p1, v1, bg1, ba1, delta.q
+            # fresh-track triangulation with the new frame as virtual view
+            inv_d, tri_ok = win.triangulate_tracks_virtual(
+                w, extr, q1, p1, z_obs, obs_new)
+            # keyframe statistic: camera rotation tail->new via extrinsics
+            # (qij = (q_bc^-1 q_bi dq q_bi^-1 q_bc)^-1), compensate the
+            # last keyframe's bearings, 80th-percentile pixel parallax
+            qm, qc = lie.quat_mul, lie.quat_conj
+            qij = qc(qm(qm(qm(qc(extr.q_bc), extr.q_bi), delta.q),
+                        qm(qc(extr.q_bi), extr.q_bc)))
+            zi = w.kp[kf_idx]                       # (T, 2)
+            ones = jnp.ones_like(zi[..., :1])
+            b2 = lie.quat_rotate(qij[None, :],
+                                 jnp.concatenate([zi, ones], axis=-1))
+            zsafe = jnp.where(jnp.abs(b2[..., 2:3]) < 1e-6, 1e-6,
+                              b2[..., 2:3])
+            pi = b2[..., :2] / zsafe
+            fx, fy = K[0, 0], K[1, 1]
+            dpx = (pi - z_obs) * jnp.asarray([fx, fy], dtype)
+            par = jnp.linalg.norm(dpx, axis=-1)
+            common = (w.obs_mask[kf_idx] & w.frame_mask[kf_idx] & obs_new
+                      & (jnp.abs(b2[..., 2]) >= 1e-6))
+            n_common = jnp.sum(common)
+            vals = jnp.sort(jnp.where(common, par, jnp.inf))
+            idx = jnp.clip(n_common * 4 // 5, 0, par.shape[0] - 1)
+            p80 = jnp.where(n_common > 0, vals[idx], jnp.inf)
+            return (q1, p1, v1, bg1, ba1, delta.q, inv_d, tri_ok, p80,
+                    n_common)
 
         self.pnp_step = jax.jit(pnp_step)
 
@@ -386,7 +421,7 @@ class DeviceKernels:
                 # (bundle_adjustor.cpp:251-275)
                 w2 = ba_mod.plane_track_escape(
                     w2, extr, track_life,
-                    min_life=int(getattr(cfg, "plane_min_track_life", 10)),
+                    min_life=int(getattr(cfg, "plane_escape_min_life", 10)),
                     escape_dist=float(getattr(cfg, "plane_escape_distance", 0.1)),
                 )
             w2 = ba_mod.post_solve_update(w2, extr, K)

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pvio_tpu.core.host_window import HostWindow
-from pvio_tpu.geometry import nplie
 from pvio_tpu.map.window import TF_PLANE, TF_VALID
 from pvio_tpu.utils.forensics import bus as forensics
 
@@ -58,8 +57,10 @@ class SlidingWindowTracker:
         if len(new_obs) < 8:
             return False
 
-        # --- fused motion step: preintegrate tail->new + predict + PnP
-        # (pnp.cpp:32-100) — ONE upload, ONE dispatch, ONE fetch ---
+        # --- fused motion step: preintegrate tail->new + predict + PnP +
+        # fresh-track triangulation + keyframe statistic (pnp.cpp:32-100,
+        # track.cpp:61-106, sliding_window_tracker.cpp:255-296) — ONE
+        # upload, ONE dispatch, ONE fetch ---
         dtp = self.k.dtype
         imu_pad = self.k.pad_imu_host(raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a)
         valid = ((hw.track_flags & (TF_VALID | TF_PLANE)) != 0) & hw.track_mask
@@ -69,19 +70,24 @@ class SlidingWindowTracker:
             z_obs[col] = z
             obs_mask[col] = True
         pnp_mask = obs_mask & valid & hw.obs_mask[tail]
+        kf_slots = np.nonzero(hw.keyframe & hw.frame_mask)[0]
+        kf_idx = int(kf_slots[-1]) if len(kf_slots) else 0
         w_dev, ops = hw.to_device(extra=(
             imu_pad, np.asarray(raw_new.t, dtp), np.int32(tail),
-            z_obs, pnp_mask))
-        (tp, wp, ap, mp), t_new, tail_i, z_obs_d, pnp_mask_d = ops
+            z_obs, pnp_mask, obs_mask, np.int32(kf_idx)))
+        (tp, wp, ap, mp), t_new, tail_i, z_obs_d, pnp_mask_d, obs_new_d, \
+            kf_i = ops
         pnp_out = self.k.pnp_step(
-            w_dev, tp, wp, ap, mp, t_new, tail_i, z_obs_d, pnp_mask_d)
-        q1, p1, v1, bg1, ba1, delta_q = [
-            np.array(a) for a in jax.device_get(pnp_out)]
+            w_dev, tp, wp, ap, mp, t_new, tail_i, z_obs_d, pnp_mask_d,
+            obs_new_d, kf_i)
+        (q1, p1, v1, bg1, ba1, delta_q, tri_inv_d, tri_ok, p80_px,
+         n_common) = [np.array(a) for a in jax.device_get(pnp_out)]
         if not (np.isfinite(q1).all() and np.isfinite(p1).all()):
             return False
 
-        # --- keyframe check (:255-296) ---
-        is_keyframe = self._keyframe_check(raw_new, new_obs, delta_q)
+        # --- keyframe check (:255-296); statistics computed in-graph ---
+        is_keyframe = self._keyframe_check(
+            bool(len(kf_slots) == 0), float(p80_px), int(n_common))
 
         tail_was_keyframe = bool(hw.keyframe[tail])
         if tail_was_keyframe:
@@ -95,7 +101,7 @@ class SlidingWindowTracker:
                 keyframe=is_keyframe,
             )
             self._write_observations(slot, new_obs)
-            self._triangulate_new()
+            self._apply_triangulation(tri_inv_d, tri_ok)
             pend_dev = None
             if self.planes is not None:
                 # async plane worker (plane_extractor.cpp:106-110): promote
@@ -161,7 +167,7 @@ class SlidingWindowTracker:
             else:
                 obs2 = new_obs
             self._write_observations(slot, obs2)
-            self._triangulate_new()
+            self._apply_triangulation(tri_inv_d, tri_ok)
 
         # --- prune tracks with quality > 3.0 (:123-125, map.cpp:125-135) ---
         # vectorized predicate; only released columns loop (dict bookkeeping)
@@ -216,63 +222,43 @@ class SlidingWindowTracker:
             if not self.hw.obs_mask[slot, col]:
                 self.hw.add_observation(col, slot, z)
 
-    def _keyframe_check(self, raw_new, new_obs, dq_body):
+    def _keyframe_check(self, no_keyframe_yet, p80_px, n_common):
         """Rotation-compensated 80th-percentile parallax gate
-        (sliding_window_tracker.cpp:255-296)."""
+        (sliding_window_tracker.cpp:255-296). The statistics (p80 pixel
+        parallax vs the last keyframe + common-track count) are computed
+        inside the fused pnp_step fetch; only the thresholds and the
+        skipped-frame counter live here."""
         cfg = self.cfg
-        hw = self.hw
-        kf_slots = np.nonzero(hw.keyframe & hw.frame_mask)[0]
-        if len(kf_slots) == 0:
+        if no_keyframe_yet:
             self.skipped_frames = 0
             return True
-        kf = int(kf_slots[-1])
-        K = cfg.K
-        fx, fy = K[0, 0], K[1, 1]
-        q_bc = np.asarray(cfg.q_bc)
-        # camera rotation i->j: qij = (q_bc^-1 * q_bi * dq * q_bi^-1 * q_bc)^-1
-        q_bi = np.asarray(cfg.q_bi)
-        qm = nplie.quat_mul
-        qc = nplie.quat_conj
-        qij = qc(qm(qm(qm(qc(q_bc), q_bi), dq_body), qm(qc(q_bi), q_bc)))
-        Rij = nplie.quat_to_mat(qij)
-        parallax_list = []
-        for col, zj in new_obs:
-            if not hw.obs_mask[kf, col]:
-                continue
-            zi = hw.kp[kf, col]
-            b2 = Rij @ np.concatenate([zi, [1.0]])
-            if abs(b2[2]) < 1e-6:
-                continue
-            pi = b2[:2] / b2[2]
-            dpx = np.array([(pi[0] - zj[0]) * fx, (pi[1] - zj[1]) * fy])
-            parallax_list.append(np.linalg.norm(dpx))
         keyframe = False
-        if len(parallax_list) < cfg.keyframe_min_common_tracks:
+        if n_common < cfg.keyframe_min_common_tracks:
+            keyframe = True
+        elif p80_px > cfg.keyframe_parallax_px:
             keyframe = True
         else:
-            parallax_list.sort()
-            p80 = parallax_list[len(parallax_list) * 4 // 5]
-            if p80 > cfg.keyframe_parallax_px:
-                keyframe = True
-            else:
-                self.skipped_frames += 1
+            self.skipped_frames += 1
         if self.skipped_frames > cfg.keyframe_max_skipped:
             keyframe = True
         if keyframe:
             self.skipped_frames = 0
         return keyframe
 
-    def _triangulate_new(self):
-        """Triangulate not-yet-valid tracks (track() triangulation sweep,
-        sliding_window_tracker.cpp:81-88)."""
+    def _apply_triangulation(self, inv_d, ok):
+        """Adopt fused-fetch triangulations for not-yet-valid tracks
+        (track() triangulation sweep, sliding_window_tracker.cpp:81-88).
+        Vectorized host bookkeeping — no extra device sync."""
         hw = self.hw
-        w = hw.to_device()
-        inv_d, ok = [np.array(a) for a in
-                     jax.device_get(self.k.triangulate_tracks(w))]
-        fresh = hw.track_mask & ok & ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0)
-        for c in np.nonzero(fresh)[0]:
-            hw.inv_depth[c] = inv_d[c]
-            hw.track_flags[c] |= TF_VALID
+        # require >= 2 surviving observations in the FINAL topology: the
+        # fused result was computed pre-append, and the non-keyframe path
+        # drops the old tail, which can leave a tail-born track with a
+        # single real view (its virtual-pair triangulation is degenerate)
+        n_obs = (hw.obs_mask & hw.frame_mask[:, None]).sum(axis=0)
+        fresh = (hw.track_mask & ok & (n_obs >= 2)
+                 & ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0))
+        hw.inv_depth[fresh] = inv_d[fresh]
+        hw.track_flags[fresh] |= TF_VALID
 
     def _imu_ops_host(self):
         """Per-frame padded IMU sample grids (host numpy) for delta

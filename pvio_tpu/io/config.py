@@ -63,6 +63,9 @@ class Config:
     initializer_min_triangulation: int = 20
     initializer_min_landmarks: int = 30
     initializer_refine_imu: bool = True
+    initializer_max_scale: float = 1.0    # scale sanity gate (initializer.cpp:216);
+                                          # raise for fast-moving rigs whose init
+                                          # baseline exceeds 1 m
 
     # --- solver ---
     solver_iteration_limit: int = 10
@@ -76,6 +79,7 @@ class Config:
     plane_ransac_threshold: float = 0.03   # plane_extractor.cpp:56
     plane_min_inliers: int = 30            # plane_extractor.cpp:58
     plane_min_track_life: int = 10         # plane_extractor.cpp:47 (life >= 10)
+    plane_escape_min_life: int = 10        # bundle_adjustor.cpp:257 (life > 10)
     plane_escape_distance: float = 0.1     # bundle_adjustor.cpp:263 (0.1 m off-plane)
 
     # --- capacities of the fixed-shape solver arrays (TPU build only) ---

@@ -238,6 +238,43 @@ def triangulate_tracks(w: WindowState, extr: Extrinsics):
     return pts, inv_d, ok
 
 
+def triangulate_tracks_virtual(w: WindowState, extr: Extrinsics,
+                               q_new, p_new, z_new, m_new):
+    """Multi-view DLT like `triangulate_tracks`, but with one VIRTUAL
+    extra frame appended (body pose q_new/p_new, normalized observations
+    z_new (T, 2) masked by m_new) — the just-tracked frame before it is
+    appended to the window. Lets the per-frame fused motion step return
+    fresh-track depths in the same fetch as the PnP result (no separate
+    triangulation sync). Returns (inv_d (T,), ok (T,))."""
+    from pvio_tpu.geometry import triangulation
+
+    q_all = jnp.concatenate([w.q, q_new[None]], axis=0)
+    p_all = jnp.concatenate([w.p, p_new[None]], axis=0)
+    q_ws = lie.quat_mul(q_all, jnp.broadcast_to(extr.q_bc, q_all.shape))
+    p_ws = p_all + lie.quat_rotate(
+        q_all, jnp.broadcast_to(extr.p_bc, p_all.shape))
+    R_sw = lie.quat_to_mat(lie.quat_conj(q_ws))
+    t_sw = -jnp.einsum("fij,fj->fi", R_sw, p_ws)
+    Ps = jnp.concatenate([R_sw, t_sw[..., None]], axis=-1)  # (F+1, 3, 4)
+    obs = jnp.concatenate(
+        [w.obs_mask & w.frame_mask[:, None], m_new[None]], axis=0)
+    kp = jnp.concatenate([w.kp, z_new[None]], axis=0)
+
+    def one(kps, m):
+        pt, ok, score = triangulation.triangulate_scored(Ps, kps, m)
+        return pt, ok & (jnp.sum(m) >= 2)
+
+    pts, ok = jax.vmap(one, in_axes=(1, 1))(kp, obs)  # (T, 3)
+    # inverse depth in the (in-window) reference frame
+    q_ref = q_ws[w.ref_frame]
+    p_ref = p_ws[w.ref_frame]
+    y = lie.quat_rotate(lie.quat_conj(q_ref), pts - p_ref)
+    z = y[..., 2]
+    ok = ok & (z > 1e-3) & (z < triangulation.MAX_DEPTH)
+    inv_d = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    return inv_d, ok
+
+
 def track_baselines(w: WindowState):
     """Per-track baseline: sum of body-position distances between
     consecutive observing frames (Track::compute_baseline,

@@ -261,6 +261,10 @@ def test_plane_track_escape(plane_scene):
     back to TF_VALID with the re-triangulated depth, and the BA cost
     drops versus keeping the bad constraint."""
     cfg = plane_config()
+    # this fixture window has <= 6 observations per track, so lower the
+    # escape maturity gate (reference default: life > 10,
+    # bundle_adjustor.cpp:257) to let the escape fire at all
+    cfg.plane_escape_min_life = 4
     kf = [0, 4, 8, 12, 16, 20]
     hw, extr, info = make_host_window(plane_scene, cfg, kf)
     kern = DeviceKernels(cfg)
