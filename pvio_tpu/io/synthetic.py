@@ -319,6 +319,33 @@ def solver_window_from_scene(scene, kf_indices, F_cap=9, T_cap=256, P_cap=8,
     return w, extr, {"n_frames": nkf, "n_tracks": L, "chosen": chosen}
 
 
+def flag_plane_tracks(w, scene, info, plane_index=0, slot=0):
+    """Mark the window tracks that lie on scene plane `plane_index` as
+    TF_PLANE members of plane `slot` and install the true plane parameters
+    — turning a solver window into the plane-augmented flagship shape
+    (used by the multichip dry run, benchmarks and the parallel tests)."""
+    import jax.numpy as jnp
+
+    from pvio_tpu.map.window import TF_PLANE, TF_VALID
+
+    chosen = np.asarray(info["chosen"])
+    on_plane = scene.plane_of_point[chosen] == plane_index
+    T = w.inv_depth.shape[0]
+    onp = np.zeros(T, bool)
+    onp[: len(chosen)] = on_plane
+    flags = np.where(onp, TF_PLANE | TF_VALID, np.asarray(w.track_flags))
+    pid = np.where(onp, slot, np.asarray(w.plane_id)).astype(np.int32)
+    return w._replace(
+        track_flags=jnp.asarray(flags, jnp.int32),
+        plane_id=jnp.asarray(pid),
+        plane_normal=w.plane_normal.at[slot].set(
+            jnp.asarray(scene.plane_normals[plane_index], w.p.dtype)),
+        plane_distance=w.plane_distance.at[slot].set(
+            float(scene.plane_distances[plane_index])),
+        plane_mask=w.plane_mask.at[slot].set(True),
+    ), int(onp.sum())
+
+
 def pipeline_config():
     """Config preset for running the full pipeline on the built-in
     synthetic scene (small image, small window; used by the CLI runner
@@ -400,6 +427,141 @@ class OracleFeatureSource:
             if f.id == frame_id:
                 return f
         return None
+
+
+def _value_noise_hash(ix, iy, seed):
+    """Deterministic lattice hash -> [0, 1) (vectorized integer mix)."""
+    h = (ix.astype(np.int64) * 374761393 + iy.astype(np.int64) * 668265263
+         + np.int64(seed) * 1442695041) & 0x7FFFFFFF
+    h = ((h ^ (h >> 13)) * 1274126177) & 0x7FFFFFFF
+    return ((h ^ (h >> 16)) & 0xFFFFF).astype(np.float64) / float(0xFFFFF)
+
+
+def fractal_texture(u, v, seed=7, octaves=5, lacunarity=2.0, gain=0.55,
+                    base_freq=1.5):
+    """Multi-octave value noise (smoothstep-interpolated random lattice):
+    dense gradients at every scale, the corner statistics real imagery has.
+    Replaces gaussian-blob splats for frontend-in-the-loop accuracy runs
+    (blob imagery causes KLT center drift)."""
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    acc = np.zeros_like(u)
+    amp_sum = 0.0
+    freq, amp = base_freq, 1.0
+    for o in range(octaves):
+        x, y = u * freq, v * freq
+        ix, iy = np.floor(x), np.floor(y)
+        fx, fy = x - ix, y - iy
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+        sx = fx * fx * (3.0 - 2.0 * fx)
+        sy = fy * fy * (3.0 - 2.0 * fy)
+        h00 = _value_noise_hash(ix, iy, seed + 31 * o)
+        h10 = _value_noise_hash(ix + 1, iy, seed + 31 * o)
+        h01 = _value_noise_hash(ix, iy + 1, seed + 31 * o)
+        h11 = _value_noise_hash(ix + 1, iy + 1, seed + 31 * o)
+        n = (h00 * (1 - sx) + h10 * sx) * (1 - sy) \
+            + (h01 * (1 - sx) + h11 * sx) * sy
+        acc += amp * n
+        amp_sum += amp
+        freq *= lacunarity
+        amp *= gain
+    return acc / amp_sum
+
+
+_ROOM_RAY_CACHE = {}
+
+
+def _room_rays(K, image_size, distortion, distortion_model):
+    """Per-pixel camera-frame ray directions (cached). With a distortion
+    model the rays are those of the *distorted* pixels, so the rendered
+    image is what the physical (distorted) camera would capture and must
+    be undistorted before the pinhole pipeline — exercising io/undistort
+    in the loop like the reference datasets do (euroc_dataset_reader.cpp:
+    70-74, tum_dataset_reader.cpp:73-81)."""
+    key = (image_size, np.asarray(K).tobytes(),
+           None if distortion is None else tuple(np.asarray(distortion)),
+           distortion_model)
+    hit = _ROOM_RAY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    W, H = image_size
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    xs = (np.arange(W) - cx) / fx
+    ys = (np.arange(H) - cy) / fy
+    X, Y = np.meshgrid(xs, ys)
+    if distortion is not None and distortion_model not in (None, "none"):
+        from pvio_tpu.io.undistort import undistort_points
+
+        X, Y = undistort_points(X, Y, distortion, distortion_model)
+    dirs = np.stack([X, Y, np.ones_like(X)], axis=-1)
+    _ROOM_RAY_CACHE[key] = dirs
+    if len(_ROOM_RAY_CACHE) > 8:
+        _ROOM_RAY_CACHE.pop(next(iter(_ROOM_RAY_CACHE)))
+    return dirs
+
+
+def render_frame_room(scene: SyntheticScene, frame_index, K, image_size,
+                      q_bc=None, p_bc=None, distortion=None,
+                      distortion_model=None,
+                      box=((-4.0, 4.0), (-3.0, 3.0), (-2.5, 6.0)), seed=7,
+                      ss=2):
+    """Render one frame of a textured box-room interior: every pixel ray
+    is cast to its exit face of the axis-aligned box and sampled from a
+    multi-octave noise texture. Geometrically exact dense imagery with
+    multiple true planes (the walls), production resolutions, and optional
+    radtan/equidistant lens distortion — the stand-in for EuRoC/TUM-VI
+    golden-run imagery (SURVEY §4). Returns (H, W) float32 in [0, 1].
+
+    `ss`: supersampling factor. ss=2 renders at twice the resolution and
+    box-downsamples — the camera-PSF anti-aliasing a real sensor has.
+    Aliased (ss=1) imagery makes subpixel KLT drift several times worse,
+    which no real camera exhibits."""
+    if ss > 1:
+        W, H = image_size
+        Kss = np.array(K, float).copy()
+        Kss[0, 0] *= ss
+        Kss[1, 1] *= ss
+        Kss[0, 2] = Kss[0, 2] * ss + (ss - 1) * 0.5
+        Kss[1, 2] = Kss[1, 2] * ss + (ss - 1) * 0.5
+        hi = render_frame_room(scene, frame_index, Kss, (W * ss, H * ss),
+                               q_bc=q_bc, p_bc=p_bc, distortion=distortion,
+                               distortion_model=distortion_model, box=box,
+                               seed=seed, ss=1)
+        return hi.reshape(H, ss, W, ss).mean(axis=(1, 3)).astype(np.float32)
+    if q_bc is None:
+        q_bc = np.array([1.0, 0, 0, 0])
+    if p_bc is None:
+        p_bc = np.zeros(3)
+    q = scene.q_wb[frame_index]
+    p = scene.p_wb[frame_index]
+    q_wc = _np_quat_mul(q, q_bc)
+    p_wc = p + _np_quat_rotate(q, p_bc)
+    R_wc = _np_quat_to_mat(q_wc)
+    dirs = _room_rays(K, image_size, distortion, distortion_model) @ R_wc.T
+
+    # exit point of the box (camera is inside): per axis the positive-t
+    # face crossing, overall hit = nearest crossing
+    eps = 1e-12
+    t_ax = np.empty(dirs.shape[:2] + (3,))
+    for a in range(3):
+        lo, hi = box[a]
+        d = dirs[..., a]
+        o = p_wc[a]
+        t_ax[..., a] = np.where(
+            d > eps, (hi - o) / np.where(d > eps, d, 1.0),
+            np.where(d < -eps, (lo - o) / np.where(d < -eps, d, 1.0), np.inf))
+    axis = np.argmin(t_ax, axis=-1)
+    t = np.take_along_axis(t_ax, axis[..., None], axis=-1)[..., 0]
+    hit = p_wc + t[..., None] * dirs
+    face = axis * 2 + (np.take_along_axis(
+        dirs, axis[..., None], axis=-1)[..., 0] > 0)
+    # texture coords = the two in-face coordinates, decorrelated per face
+    u = np.where(axis == 0, hit[..., 1], hit[..., 0]) + 137.31 * face
+    v = np.where(axis == 2, hit[..., 1], hit[..., 2]) + 91.73 * face
+    img = 0.15 + 0.8 * fractal_texture(u, v, seed=seed)
+    shade = 1.0 - 0.06 * face  # slight per-face brightness step
+    return np.clip(img * shade, 0.0, 1.0).astype(np.float32)
 
 
 _TEXTURE_WAVES = None

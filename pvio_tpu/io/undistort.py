@@ -29,6 +29,41 @@ def _distort_equidistant(x, y, k1, k2, k3, k4):
     return x * scale, y * scale
 
 
+def undistort_points(xd, yd, distortion, model, iters=10):
+    """Invert the distortion model: distorted normalized coords -> true
+    (pinhole) normalized coords. The forward models above are what the
+    reference's ImageUndistorter bakes into its remap tables
+    (image_undistorter.h:61-93); the inverse is needed to *synthesize*
+    distorted imagery (ray direction of a distorted pixel) and mirrors
+    cv::undistortPoints' iterative scheme."""
+    xd = np.asarray(xd, np.float64)
+    yd = np.asarray(yd, np.float64)
+    if model in (None, "none"):
+        return xd, yd
+    if model == "radtan":
+        k1, k2, p1, p2 = (list(distortion) + [0.0] * 4)[:4]
+        x, y = xd.copy(), yd.copy()
+        for _ in range(iters):  # fixed-point: x <- xd - (distort(x) - x)
+            xh, yh = _distort_radtan(x, y, k1, k2, p1, p2)
+            x = x + (xd - xh)
+            y = y + (yd - yh)
+        return x, y
+    if model == "equidistant":
+        k1, k2, k3, k4 = (list(distortion) + [0.0] * 4)[:4]
+        rd = np.sqrt(xd * xd + yd * yd)
+        rd_s = np.where(rd < 1e-12, 1e-12, rd)
+        theta = rd.copy()  # Newton on theta_d(theta) = rd
+        for _ in range(iters):
+            t2 = theta * theta
+            f = theta * (1 + k1 * t2 + k2 * t2**2 + k3 * t2**3 + k4 * t2**4) - rd
+            df = (1 + 3 * k1 * t2 + 5 * k2 * t2**2 + 7 * k3 * t2**3
+                  + 9 * k4 * t2**4)
+            theta = theta - f / np.where(np.abs(df) < 1e-9, 1e-9, df)
+        scale = np.tan(theta) / rd_s
+        return xd * scale, yd * scale
+    raise ValueError(f"unknown distortion model {model!r}")
+
+
 class ImageUndistorter:
     """Precomputes the map from undistorted pixels to distorted source
     pixels; apply() remaps an image so the pinhole model K holds."""

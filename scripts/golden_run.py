@@ -1,0 +1,154 @@
+"""Golden-run harness: rendered textured-room imagery (with real lens
+distortion) -> io/undistort -> full PVIO pipeline -> ATE vs ground truth.
+
+This is the stand-in for the reference's EuRoC/TUM-VI dataset validation
+(pvio-pc main.cpp:214-257 + trajectory.tum vs ground truth) while no real
+datasets exist in this environment: production resolution, production
+config (loaded from the same YAML schema), KLT-tracked dense imagery.
+
+    python scripts/golden_run.py config/euroc.yaml [--duration 12] \
+        [--cpu] [--dtype float64] [--no-planes] [--seed 648]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--duration", type=float, default=12.0)
+    ap.add_argument("--fps", type=float, default=20.0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--seed", type=int, default=648)
+    ap.add_argument("--imu-noise", type=float, default=0.0,
+                    help="gyro/accel noise scale (0 = ideal IMU)")
+    ap.add_argument("--save-frames", default=None,
+                    help="directory to dump a few rendered+undistorted PNGs")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from pvio_tpu import PVIO, Config
+    from pvio_tpu.geometry import wahba
+    from pvio_tpu.io import synthetic
+    from pvio_tpu.io.undistort import ImageUndistorter
+
+    cfg = Config.from_yaml(args.config)
+    cfg.dtype = args.dtype
+    cfg.initializer_max_scale = 5.0   # synthetic rig: >1 m init baseline
+    if "tum" in args.config:
+        cfg.image_size = (512, 512)
+    if args.no_planes:
+        cfg.enable_plane_constraint = False
+
+    scene = synthetic.make_scene(
+        duration=args.duration, fps=args.fps, imu_rate=200.0,
+        n_points=8, seed=args.seed,
+        gyro_noise=1e-3 * args.imu_noise, accel_noise=1e-2 * args.imu_noise,
+    )
+    und = ImageUndistorter(cfg.K, cfg.camera_distortion,
+                           cfg.camera_distortion_model, cfg.image_size)
+
+    q_bc = np.asarray(cfg.q_bc)
+    p_bc = np.asarray(cfg.p_bc)
+
+    def make_image(fi):
+        img = synthetic.render_frame_room(
+            scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
+            distortion=cfg.camera_distortion,
+            distortion_model=cfg.camera_distortion_model)
+        u8 = (img * 255.0 + 0.5).astype(np.uint8)
+        return und.apply(u8)
+
+    if args.save_frames:
+        os.makedirs(args.save_frames, exist_ok=True)
+        for fi in [0, 1]:
+            raw = synthetic.render_frame_room(
+                scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
+                distortion=cfg.camera_distortion,
+                distortion_model=cfg.camera_distortion_model)
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                plt.imsave(f"{args.save_frames}/raw_{fi}.png", raw, cmap="gray")
+                plt.imsave(f"{args.save_frames}/und_{fi}.png", make_image(fi),
+                           cmap="gray")
+            except Exception as e:
+                print("save failed:", e)
+
+    vio = PVIO(cfg)
+    n_frames = len(scene.frame_t)
+    fi = 0
+    t_render = t_pipe = 0.0
+    t_start = time.perf_counter()
+    for k in range(len(scene.imu_t)):
+        t = scene.imu_t[k]
+        vio.track_gyroscope(t, *scene.gyro[k])
+        vio.track_accelerometer(t, *scene.accel[k])
+        while fi < n_frames and scene.frame_t[fi] <= t:
+            t0 = time.perf_counter()
+            img = make_image(fi)
+            t1 = time.perf_counter()
+            vio.track_camera(scene.frame_t[fi], img)
+            t_render += t1 - t0
+            t_pipe += time.perf_counter() - t1
+            fi += 1
+            if fi % 20 == 0:
+                print(f"  frame {fi}/{n_frames} init={vio.initialized} "
+                      f"reinits={vio.core.frontend.n_reinits} "
+                      f"render {t_render / fi * 1e3:.0f}ms/f "
+                      f"pipe {t_pipe / fi * 1e3:.0f}ms/f", file=sys.stderr)
+
+    traj = vio.get_trajectory()
+    print(f"total {time.perf_counter() - t_start:.1f}s "
+          f"(render {t_render:.1f}s, pipeline {t_pipe:.1f}s), "
+          f"{len(traj)} poses, init={vio.initialized}, "
+          f"reinits={vio.core.frontend.n_reinits}")
+    if not traj:
+        print("NO TRAJECTORY")
+        return 1
+
+    import jax.numpy as jnp
+
+    t2idx = {round(tt, 6): i for i, tt in enumerate(scene.frame_t)}
+    est, gt = [], []
+    for (tt, q, p) in traj:
+        i = t2idx.get(round(tt, 6))
+        if i is not None:
+            est.append(p)
+            gt.append(scene.p_wb[i])
+    est = jnp.asarray(np.array(est))
+    gt = jnp.asarray(np.array(gt))
+    s, _, _ = wahba.find_srt(est, gt)
+    ate = float(wahba.ate_rmse(est, gt, with_scale=False))
+    print(f"ATE {ate:.4f} m over {len(est)} poses, scale {float(s):.4f}, "
+          f"planes={len(vio.get_planes())}, "
+          f"map_points={len(vio.get_map_points())}")
+    # drift profile: ATE of each trajectory quarter (aligned per segment)
+    nq = len(est) // 4
+    for k in range(4):
+        seg = slice(k * nq, (k + 1) * nq if k < 3 else len(est))
+        if seg.stop - seg.start < 5:
+            continue
+        a = float(wahba.ate_rmse(est[seg], gt[seg], with_scale=False))
+        print(f"  quarter {k}: ATE {a:.4f} m over {seg.stop - seg.start}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
