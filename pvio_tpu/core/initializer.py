@@ -69,6 +69,10 @@ class Initializer:
         self.cfg = config
         self.k = kernels
         self._key = jax.random.PRNGKey(config.random_seed)
+        # last gate that rejected an initialization attempt, for
+        # observability (reference logs these via debug.h): tuple
+        # (stage, value) or None after a successful attempt
+        self.failure = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -162,6 +166,7 @@ class Initializer:
         # matches between first and last keyframe
         cols = np.nonzero(hw.obs_mask[0] & hw.obs_mask[n - 1] & hw.track_mask)[0]
         if len(cols) < cfg.initializer_min_matches:
+            self.failure = ("sfm_matches", len(cols))
             return False
         x1 = hw.kp[0, cols]
         x2 = hw.kp[n - 1, cols]
@@ -169,6 +174,7 @@ class Initializer:
             cfg.K[0, 0] + cfg.K[1, 1]
         )
         if parallax < cfg.initializer_min_parallax:
+            self.failure = ("sfm_parallax", float(parallax))
             return False
 
         # pad to fixed size for the jitted RANSAC kernels
@@ -185,6 +191,7 @@ class Initializer:
         H, _, _ = ransac_mod.find_homography(self._next_key(), x1j, x2j, mj, threshold=thr)
         RsH, TsH, _, pure_rot = hom.decompose_homography(H)
         if bool(pure_rot):
+            self.failure = ("sfm_pure_rotation", None)
             return False
         E, _, _ = ransac_mod.find_essential(self._next_key(), x1j, x2j, mj, threshold=thr)
         RE1, RE2, TE = ess.decompose_essential(E)
@@ -197,13 +204,30 @@ class Initializer:
             nrm(TsH[0]), -nrm(TsH[0]), nrm(TsH[1]), -nrm(TsH[1]),
             nrm(TE), -nrm(TE), nrm(TE), -nrm(TE),
         ])
+        # gyro rotation prior across the whole first->last span, mapped to
+        # the camera frame: resolves the planar twofold ambiguity that the
+        # count/score rule alone cannot (both homography decompositions
+        # reproject a dominant plane equally well). R maps first-keyframe
+        # camera coords to last-keyframe coords, so the prior is
+        # conj(q_bc^-1 (x) dq_body(0->n-1) (x) q_bc).
+        delta_rot, dval = self._preintegrate_np(hw, np.zeros(3), np.zeros(3))
+        dq_body = np.array([1.0, 0, 0, 0])
+        for j in range(1, n):
+            if dval[j]:
+                dq_body = _quat_mul(dq_body, np.asarray(delta_rot.q[j]))
+        q_ic = _quat_mul(_quat_conj(_q_np(cfg.q_bi)), _q_np(cfg.q_bc))
+        q_cam = _quat_mul(_quat_mul(_quat_conj(q_ic), dq_body), q_ic)
+        R_prior = jnp.asarray(nplie.quat_to_mat(_quat_conj(q_cam)), hw.dtype)
+
         # hypothesis selection over the padded match set (masked points
         # simply don't triangulate: give them zero coords -> invalid)
         best, pts, status, count = triangulation.select_rt_hypothesis(
-            Rs, Ts, x1j, x2j, count_threshold=cfg.initializer_min_triangulation
+            Rs, Ts, x1j, x2j, count_threshold=cfg.initializer_min_triangulation,
+            R_prior=R_prior, prior_max_angle=np.deg2rad(10.0),
         )
         status = np.array(status) & mp
         if int(status.sum()) < cfg.initializer_min_triangulation:
+            self.failure = ("sfm_triangulation", int(status.sum()))
             return False
         R = np.array(Rs[best])
         T = np.array(Ts[best])
@@ -384,7 +408,8 @@ class Initializer:
         gravity = x[0:3] / max(np.linalg.norm(x[0:3]), 1e-12) * GRAVITY_NOMINAL
         scale = x[3]
         velocities = x[4:].reshape(n, 3).copy()
-        if scale < 0.001 or scale > 1.0:
+        if scale < 0.001 or scale > cfg.initializer_max_scale:
+            self.failure = ("imu_scale", float(scale))
             return False
 
         # --- refine with fixed |g| on S^2 tangent (:287-332) ---
@@ -419,7 +444,8 @@ class Initializer:
             gravity = gravity / np.linalg.norm(gravity) * GRAVITY_NOMINAL
             scale = x2[2]
             velocities = x2[3:].reshape(n, 3).copy()
-        if refine_iters and (scale < 0.001 or scale > 1.0):
+        if refine_iters and (scale < 0.001 or scale > cfg.initializer_max_scale):
+            self.failure = ("imu_scale_refined", float(scale))
             return False
 
         # --- apply: gravity-align + scale + velocities (:349-379) ---
@@ -440,4 +466,8 @@ class Initializer:
             hw.bg[i] = bg
             hw.ba[i] = 0.0
         n_landmarks = self._triangulate_all(hw)
-        return n_landmarks >= cfg.initializer_min_landmarks
+        if n_landmarks < cfg.initializer_min_landmarks:
+            self.failure = ("imu_landmarks", int(n_landmarks))
+            return False
+        self.failure = None
+        return True

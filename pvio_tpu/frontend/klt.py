@@ -192,6 +192,17 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype,
     t, gx = tgx[:, :, :P], tgx[:, :, P:]
     gy = _resample(Wprev, Rvd, Rh0, bf16)
 
+    # gain/bias-invariant residual: zero-mean both patches and fit the
+    # optimal per-patch gain each iteration. Brightness constancy does
+    # NOT hold across adaptive preprocessing (CLAHE tile remaps shift
+    # with the view; per-frame normalization rescales globally) nor under
+    # real exposure changes — the raw SSD residual then biases the flow
+    # by multiple pixels (measured: a 10% global gain jump moved plain
+    # GN tracking from 0.11 px to 3.8 px error).
+    tm = jnp.mean(t, axis=(1, 2), keepdims=True)
+    t0 = t - tm
+    tt = jnp.maximum(jnp.sum(t0 * t0, axis=(1, 2)), 1e-12)
+
     a = jnp.sum(gx * gx, axis=(1, 2))
     b = jnp.sum(gx * gy, axis=(1, 2))
     c = jnp.sum(gy * gy, axis=(1, 2))
@@ -200,11 +211,17 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype,
     cap = jnp.asarray(float(P), dtype)
     fcap = jnp.asarray(float(max(Hp, Wp)), dtype)
 
-    def step(_, gflow):
+    def residual(gflow):
         nlx = cx + gflow[:, 0] - half - wxn.astype(dtype)
         nly = cy + gflow[:, 1] - half - wyn.astype(dtype)
-        Rv, Rh, _ = _resample_ops(nlx, nly, P, dtype)
-        e = _resample(Wnext, Rv, Rh, bf16) - t
+        Rv, Rh, ok = _resample_ops(nlx, nly, P, dtype)
+        w = _resample(Wnext, Rv, Rh, bf16)
+        w0 = w - jnp.mean(w, axis=(1, 2), keepdims=True)
+        s = jnp.clip(jnp.sum(w0 * t0, axis=(1, 2)) / tt, 0.5, 2.0)
+        return w0 - s[:, None, None] * t0, ok
+
+    def step(_, gflow):
+        e, _ = residual(gflow)
         bx = jnp.sum(e * gx, axis=(1, 2))
         by = jnp.sum(e * gy, axis=(1, 2))
         dx = jnp.clip((c * bx - b * by) / det_s, -cap, cap)
@@ -212,10 +229,7 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype,
         return jnp.clip(gflow - jnp.stack([dx, dy], axis=-1), -fcap, fcap)
 
     g1 = jax.lax.fori_loop(0, iters, step, guess)
-    nlx = cx + g1[:, 0] - half - wxn.astype(dtype)
-    nly = cy + g1[:, 1] - half - wyn.astype(dtype)
-    Rv, Rh, ok = _resample_ops(nlx, nly, P, dtype)
-    e = _resample(Wnext, Rv, Rh, bf16) - t
+    e, ok = residual(g1)
     err = jnp.mean(jnp.abs(e), axis=(1, 2))
     err = jnp.where(ok, err, jnp.inf)
     return g1, err
@@ -236,6 +250,9 @@ def _track_level_slices(img_prev, img_next, kp_prev, guess, iters, half, dtype):
               - _sample_patch(img_prev, cx - 0.5, cy, half))
         gy = (_sample_patch(img_prev, cx, cy + 0.5, half)
               - _sample_patch(img_prev, cx, cy - 0.5, half))
+        # gain/bias-invariant residual (see _track_level)
+        t0 = t - jnp.mean(t)
+        tt = jnp.maximum(jnp.sum(t0 * t0), 1e-12)
         a = jnp.sum(gx * gx)
         b = jnp.sum(gx * gy)
         c = jnp.sum(gy * gy)
@@ -244,9 +261,14 @@ def _track_level_slices(img_prev, img_next, kp_prev, guess, iters, half, dtype):
         cap = jnp.asarray(float(2 * half + 1), dtype)
         fcap = jnp.asarray(float(max(img_prev.shape)), dtype)
 
-        def step(_, gflow):
+        def residual(gflow):
             w = _sample_patch(img_next, cx + gflow[0], cy + gflow[1], half)
-            e = w - t
+            w0 = w - jnp.mean(w)
+            s = jnp.clip(jnp.sum(w0 * t0) / tt, 0.5, 2.0)
+            return w0 - s * t0
+
+        def step(_, gflow):
+            e = residual(gflow)
             bx = jnp.sum(e * gx)
             by = jnp.sum(e * gy)
             dx = jnp.clip((c * bx - b * by) / det_s, -cap, cap)
@@ -254,8 +276,7 @@ def _track_level_slices(img_prev, img_next, kp_prev, guess, iters, half, dtype):
             return jnp.clip(gflow - jnp.stack([dx, dy]), -fcap, fcap)
 
         g1 = jax.lax.fori_loop(0, iters, step, g)
-        w = _sample_patch(img_next, cx + g1[0], cy + g1[1], half)
-        err = jnp.mean(jnp.abs(w - t))
+        err = jnp.mean(jnp.abs(residual(g1)))
         return g1, err
 
     return jax.vmap(one)(kp_prev, guess)

@@ -92,7 +92,8 @@ def triangulate_two_view(R, t, x1, x2):
     return triangulate_scored(Ps, xs)
 
 
-def select_rt_hypothesis(Rs, Ts, x1, x2, count_threshold=0):
+def select_rt_hypothesis(Rs, Ts, x1, x2, count_threshold=0, R_prior=None,
+                         prior_max_angle=None):
     """Choose among H candidate (R, T) pairs by triangulating all N matches
     under each (reference stereo.cpp:149-171, triangulate_from_rt_scored).
 
@@ -101,6 +102,17 @@ def select_rt_hypothesis(Rs, Ts, x1, x2, count_threshold=0):
 
     Selection rule preserved: prefer hypotheses whose inlier count exceeds
     `count_threshold` with minimal mean score; otherwise maximal count.
+
+    `R_prior` (3, 3) + `prior_max_angle` (radians): optional rotation
+    prior — hypotheses whose rotation is further than the bound from the
+    prior are deprioritized (used only if at least one hypothesis lies
+    within it). For visual-INERTIAL initialization the preintegrated gyro
+    rotation is such a prior, and it decisively resolves the twofold
+    planar (homography) ambiguity: on a wall-dominant view both
+    decompositions reproject coplanar points equally well, so the
+    reference's count/score rule degenerates to a coin flip — the gyro,
+    already in hand, is off by at most bias*dt (<~2 deg) while the wrong
+    hypothesis is off by several degrees.
     """
     def per_hyp(R, T):
         pts, valid, score = triangulate_two_view(R, T, x1, x2)
@@ -112,6 +124,16 @@ def select_rt_hypothesis(Rs, Ts, x1, x2, count_threshold=0):
     pts, valid, counts, scores = jax.vmap(per_hyp)(Rs, Ts)
     passing = counts > count_threshold
     big = jnp.array(jnp.finfo(scores.dtype).max, scores.dtype)
+    if R_prior is not None and prior_max_angle is not None:
+        dR = jnp.einsum("hij,kj->hik", Rs, R_prior)   # R_h @ R_prior^T
+        tr = dR[:, 0, 0] + dR[:, 1, 1] + dR[:, 2, 2]
+        ang = jnp.arccos(jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0))
+        within = ang < prior_max_angle
+        # only apply the prior when some hypothesis satisfies it
+        use = jnp.any(within)
+        scores = jnp.where(within | ~use, scores, big)
+        counts = jnp.where(within | ~use, counts, 0)
+        passing = passing & (within | ~use)
     score_key = jnp.where(passing, scores, big)
     best_by_score = jnp.argmin(score_key)
     best_by_count = jnp.argmax(counts)
