@@ -26,6 +26,15 @@ def main(argv=None):
                     help="save tracked-feature overlays (every --overlay-every"
                          " frames) to this directory")
     ap.add_argument("--overlay-every", type=int, default=10)
+    ap.add_argument("--live", default=None, metavar="DIR",
+                    help="live view: auto-refreshing DIR/live.html + "
+                         "overlay/dashboard PNGs updated during the run "
+                         "(reference GUI role, main.cpp:264-470)")
+    ap.add_argument("--live-every", type=int, default=10,
+                    help="re-render the live view every N frames")
+    ap.add_argument("--status", action="store_true",
+                    help="in-place terminal status line with fps/lag/BA "
+                         "sparklines")
     args = ap.parse_args(argv)
 
     import jax
@@ -44,7 +53,15 @@ def main(argv=None):
         cfg.enable_plane_constraint = False
 
     recorder = None
-    if args.plot:
+    live = None
+    if args.live or args.status:
+        from pvio_tpu.io.visualizer import LiveVisualizer
+
+        live = LiveVisualizer(directory=args.live, every=args.live_every,
+                              terminal=args.status, bus=bus,
+                              get_trajectory=lambda: vio.get_trajectory())
+        recorder = live.history  # shared with the end-of-run dashboard
+    elif args.plot:
         from pvio_tpu.io.visualizer import HistoryRecorder
 
         recorder = HistoryRecorder(bus)
@@ -52,7 +69,9 @@ def main(argv=None):
     overlay_count = [0]
 
     def on_frame(t):
-        if recorder is not None:
+        if live is not None:
+            live.frame(t)
+        elif recorder is not None:
             recorder.sample(t)
         if args.overlay_dir:
             k = overlay_count[0]
