@@ -179,16 +179,26 @@ def preintegrate(ts, ws, accs, mask, t_target, bg, ba, noise,
 
 
 def sqrt_inv_covariance(cov):
-    """Upper-triangular S with S^T S = cov^{-1} (preintegrator.cpp:98-100:
-    LLT of cov.inverse(), matrixL().transpose()). Jittered for float32."""
+    """Triangular S with S^T S = cov^{-1} (role of preintegrator.cpp:
+    98-100, LLT of cov.inverse()).
+
+    Float32-safe formulation: the covariance diagonal spans ~6 orders of
+    magnitude (rotation vs bias-walk blocks), so explicitly inverting and
+    Cholesky-factoring cov^{-1} squares an already-extreme condition
+    number and produces NaNs in f32 (observed on the production bench).
+    Instead scale-equilibrate to the correlation matrix C = D^-1 cov D^-1
+    (unit diagonal, condition ~ correlation structure only), factor THAT,
+    and fold the scaling into the whitener: S = L^-1 D^-1 satisfies
+    S^T S = D^-1 C^-1 D^-1 = cov^{-1} exactly."""
     dtype = cov.dtype
-    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-8, dtype)
-    scale = jnp.maximum(jnp.trace(cov) / 15.0, 1e-30)
-    covj = cov + eps * scale * jnp.eye(15, dtype=dtype)
-    inv = jnp.linalg.inv(covj)
-    inv = 0.5 * (inv + inv.T)
-    L = jnp.linalg.cholesky(inv)
-    return L.T
+    eps = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+    d = jnp.sqrt(jnp.maximum(jnp.diag(cov), 1e-30))
+    C = cov / (d[:, None] * d[None, :])
+    C = 0.5 * (C + C.T) + eps * jnp.eye(15, dtype=dtype)
+    L = jnp.linalg.cholesky(C)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(15, dtype=dtype), lower=True)
+    return Linv / d[None, :]
 
 
 def predict(delta: PreintDelta, q, p, v, bg, ba):
