@@ -22,6 +22,7 @@ from pvio_tpu.map.window import TF_PLANE, TF_VALID
 
 cfg = Config.from_yaml(sys.argv[1] if len(sys.argv) > 1 else "config/euroc.yaml")
 cfg.dtype = "float64"
+cfg.initializer_max_scale = 5.0
 duration = float(sys.argv[2]) if len(sys.argv) > 2 else 4.0
 
 orig_issue = pe_mod.PlaneExtractor.issue_detection
