@@ -20,9 +20,11 @@ Plane (map/plane.{h,cpp}) on the masked window arrays:
   * update_parameters: re-fit each plane from its member landmarks with
     RANSAC + PCA (plane.cpp:64-114).
 
-The reference runs this in an async worker thread; here detection is a
-jitted kernel invoked synchronously per keyframe (the deterministic
-single-thread mode, PVIO_ENABLE_THREADING=OFF).
+The reference runs this in an async worker thread; here the detection
+kernel is issued per keyframe right before the fused BA dispatch and its
+outputs ride the BA fetch (issue_detection -> store_pending_result ->
+promote_pending on the NEXT keyframe) — asynchronous with respect to the
+solver like the reference worker, but deterministic.
 """
 
 import jax

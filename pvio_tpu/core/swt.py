@@ -70,6 +70,15 @@ class SlidingWindowTracker:
             z_obs[col] = z
             obs_mask[col] = True
         pnp_mask = obs_mask & valid & hw.obs_mask[tail]
+        # snapshot of the column identities the fused triangulation was
+        # computed against: topology mutations below (drop_tail column
+        # recycling, marginalization slot shifts) can re-bind a column to
+        # a different track or move its reference frame, and applying the
+        # stale result there would write another track's inverse depth
+        tri_track_id = hw.track_id.copy()
+        # reference identified by physical frame id (slot indices shift
+        # when marginalization compacts the window)
+        tri_ref_fid = hw.frame_id[hw.ref_frame].copy()
         kf_slots = np.nonzero(hw.keyframe & hw.frame_mask)[0]
         kf_idx = int(kf_slots[-1]) if len(kf_slots) else 0
         w_dev, ops = hw.to_device(extra=(
@@ -101,7 +110,7 @@ class SlidingWindowTracker:
                 keyframe=is_keyframe,
             )
             self._write_observations(slot, new_obs)
-            self._apply_triangulation(tri_inv_d, tri_ok)
+            self._apply_triangulation(tri_inv_d, tri_ok, tri_track_id, tri_ref_fid)
             pend_dev = None
             if self.planes is not None:
                 # async plane worker (plane_extractor.cpp:106-110): promote
@@ -167,7 +176,7 @@ class SlidingWindowTracker:
             else:
                 obs2 = new_obs
             self._write_observations(slot, obs2)
-            self._apply_triangulation(tri_inv_d, tri_ok)
+            self._apply_triangulation(tri_inv_d, tri_ok, tri_track_id, tri_ref_fid)
 
         # --- prune tracks with quality > 3.0 (:123-125, map.cpp:125-135) ---
         # vectorized predicate; only released columns loop (dict bookkeeping)
@@ -245,17 +254,26 @@ class SlidingWindowTracker:
             self.skipped_frames = 0
         return keyframe
 
-    def _apply_triangulation(self, inv_d, ok):
+    def _apply_triangulation(self, inv_d, ok, snap_track_id, snap_ref_fid):
         """Adopt fused-fetch triangulations for not-yet-valid tracks
         (track() triangulation sweep, sliding_window_tracker.cpp:81-88).
-        Vectorized host bookkeeping — no extra device sync."""
+        Vectorized host bookkeeping — no extra device sync.
+
+        snap_track_id/snap_ref_fid: the column->track binding and the
+        physical id of each column's reference frame at the time of the
+        device call. Topology mutations between the call and here
+        (drop_tail column recycling, marginalization slot shifts) can
+        re-bind a column or move its reference camera; stale results are
+        skipped for those columns — they re-triangulate next frame."""
         hw = self.hw
         # require >= 2 surviving observations in the FINAL topology: the
         # fused result was computed pre-append, and the non-keyframe path
         # drops the old tail, which can leave a tail-born track with a
         # single real view (its virtual-pair triangulation is degenerate)
         n_obs = (hw.obs_mask & hw.frame_mask[:, None]).sum(axis=0)
-        fresh = (hw.track_mask & ok & (n_obs >= 2)
+        unchanged = (hw.track_id == snap_track_id) & (
+            hw.frame_id[hw.ref_frame] == snap_ref_fid)
+        fresh = (hw.track_mask & ok & (n_obs >= 2) & unchanged
                  & ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0))
         hw.inv_depth[fresh] = inv_d[fresh]
         hw.track_flags[fresh] |= TF_VALID

@@ -5,10 +5,11 @@ Re-design of reference OpenCvImage::track_keypoints
 gyro-predicted initial flow from frame.cpp:97-103): every keypoint's patch
 solve is a tiny Gauss-Newton over (dx, dy) with a fixed iteration count,
 vmapped over keypoints and unrolled coarse-to-fine over pyramid levels —
-one fused XLA program, no per-keypoint host loop. Patch sampling is
-bilinear gather (the Pallas kernel in pvio_tpu/ops provides the fused
-production path; this module is the reference implementation and CPU
-fallback).
+one fused XLA program, no per-keypoint host loop. The production path is
+the banded-resampling-matmul formulation in this module (contiguous row
+takes + one-hot resampling matmuls — no gathers in the GN loop); it
+outperformed the hand-written per-keypoint Pallas kernel by ~9x and the
+latter was removed (see PERF_NOTES "KLT lessons").
 """
 
 from functools import partial

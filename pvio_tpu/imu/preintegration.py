@@ -16,8 +16,10 @@ Semantics preserved:
     (q, p, v, bg, ba) as in estimation/state.h:29-36;
   * bias Jacobians dq/dbg, dp/dbg, dp/dba, dv/dbg, dv/dba
     (preintegrator.cpp:70-76);
-  * sqrt_inv_cov = upper Cholesky factor of cov^{-1}
-    (preintegrator.cpp:98-100);
+  * sqrt_inv_cov = whitener S with S^T S = cov^{-1} (the reference's LLT
+    of cov^{-1}, preintegrator.cpp:98-100, is refactored into a
+    correlation-equilibrated Cholesky S = L^-1 D^-1 for float32 safety —
+    S is NOT triangular; only the whitening property is contractual);
   * constant-bias forward propagation `predict` with gravity
     (preintegrator.cpp:102-109).
 """
@@ -41,7 +43,7 @@ class PreintDelta(NamedTuple):
     p: jnp.ndarray          # (3,) Δp
     v: jnp.ndarray          # (3,) Δv
     cov: jnp.ndarray        # (15, 15) error-state covariance (q, p, v, bg, ba)
-    sqrt_inv_cov: jnp.ndarray  # (15, 15) upper-triangular whitener
+    sqrt_inv_cov: jnp.ndarray  # (15, 15) whitener S, S^T S = cov^{-1} (not triangular)
     dq_dbg: jnp.ndarray     # (3, 3)
     dp_dbg: jnp.ndarray
     dp_dba: jnp.ndarray

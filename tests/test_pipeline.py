@@ -99,10 +99,12 @@ def test_oracle_pipeline_accuracy():
 
 
 @pytest.mark.slow
-def test_image_pipeline_functional():
-    """Full frontend (CLAHE + Shi-Tomasi + KLT + F-gate) on rendered
-    blob imagery: must initialize, never re-init, and stay within a loose
-    ATE bound."""
+def test_image_pipeline_smoke():
+    """PLUMBING smoke test: the full frontend (CLAHE + Shi-Tomasi + KLT +
+    F-gate) on rendered blob imagery must initialize, never re-init, and
+    not diverge (loose 0.8 m sanity bound only — blob imagery has no
+    stable texture; ACCURACY is asserted by tests/test_golden_run.py on
+    textured renders at production resolution)."""
     cfg = small_config()
     scene = synthetic.make_scene(duration=4.0, fps=20.0, imu_rate=200.0,
                                  n_points=320, seed=648)

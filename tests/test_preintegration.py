@@ -119,9 +119,10 @@ def test_covariance_psd_and_scaling(rng):
     d = pre.preintegrate(ts, ws, accs, mask, t_target, jnp.zeros(3), jnp.zeros(3), noise64())
     ev = np.linalg.eigvalsh(np.asarray(d.cov))
     assert np.all(ev > -1e-18)
-    # whitener: S^T S = cov^{-1}
+    # whitener: S^T S = cov^{-1} (S is L^-1 D^-1 from the
+    # correlation-equilibrated Cholesky — NOT triangular; only the
+    # whitening property is contractual)
     S = np.asarray(d.sqrt_inv_cov)
-    assert np.allclose(np.tril(S, -1), 0.0)  # upper triangular
     err = S.T @ S @ np.asarray(d.cov) - np.eye(15)
     assert np.max(np.abs(err)) < 1e-4
 
