@@ -179,7 +179,7 @@ def main():
             pyr, kp, mask, wst, stir = one_frame(pyr, kp, mask, wst, stir,
                                                  i0 + i)
         # keyframe: fused BA step (planes ON) + fused marginalization
-        wst2, info, xw = kern.ba_step(wst, *imu_ops_d, track_life_d, False)
+        wst2, info, xw, _tri = kern.ba_step(wst, *imu_ops_d, track_life_d, False)
         wm = kern.marg_step(wst2, *imu_ops_d)
         # chain the groups through a tiny data dependency WITHOUT carrying
         # the evolved window (the fake steady state has no host topology

@@ -51,6 +51,8 @@ def _kernel_cache_key(config):
         float(getattr(config, "plane_escape_distance", 0.1)),
         int(config.imu_buffer_capacity),
         float(config.kp_sqrt_inv_cov),
+        float(getattr(config, "cauchy_scale", 1.0)),
+        float(getattr(config, "feature_tracker_fb_threshold", 0.0)),
         h(config.K), h(config.q_bc), h(config.p_bc),
         h(config.q_bi), h(config.p_bi),
         h(config.imu_cov_g), h(config.imu_cov_a),
@@ -102,6 +104,7 @@ class DeviceKernels:
             min_plane_tracks=config.plane_min_tracks,
             use_inertial=True,
             use_planes=config.enable_plane_constraint,
+            cauchy_scale=float(getattr(config, "cauchy_scale", 1.0)),
             fused_preint=(jax.default_backend() != "cpu"),
         )
         self.ba_cfg_vo = self.ba_cfg._replace(use_inertial=False, use_planes=False)
@@ -109,6 +112,7 @@ class DeviceKernels:
             iterations=config.solver_iteration_limit,
             kp_sqrt_inv_cov=config.kp_sqrt_inv_cov,
             use_inertial=True,
+            cauchy_scale=float(getattr(config, "cauchy_scale", 1.0)),
         )
         self.pnp_cfg_vo = self.pnp_cfg._replace(use_inertial=False)
 
@@ -135,10 +139,12 @@ class DeviceKernels:
 
         self.preprocess = jax.jit(preprocess)
 
+        fb_px = float(getattr(cfg, "feature_tracker_fb_threshold", 0.0))
+
         def track(pyr_prev, pyr_next, kp, guess, mask):
             return klt_mod.track_keypoints(
                 list(pyr_prev), list(pyr_next), kp, guess, mask,
-                border=20.0,
+                border=20.0, fb_threshold=fb_px,
             )
 
         self.track = jax.jit(track)
@@ -193,7 +199,7 @@ class DeviceKernels:
                 guess = kp_prev
             kp_new, status = klt_mod.track_keypoints(
                 list(pyr_prev), list(pyr_next), kp_prev, guess, mask_prev,
-                border=20.0,
+                border=20.0, fb_threshold=fb_px,
             )
             # fundamental-matrix outlier gate (opencv_image.cpp:121-129):
             # applied only when >=8 tracked survivors and >=8 inliers
@@ -337,9 +343,20 @@ class DeviceKernels:
             bearing = lie.quat_rotate(
                 q_wc, jnp.concatenate([z_ref, jnp.ones((T, 1), z_ref.dtype)], axis=-1)
             )
-            cast = plane_cast_point(
-                w.plane_normal[pid], w.plane_distance[pid], o, bearing)
-            return jnp.where(is_plane[:, None], cast, x_world)
+            n = w.plane_normal[pid]
+            cast = plane_cast_point(n, w.plane_distance[pid], o, bearing)
+            # is_parallel gate (plane.cpp:132-134, pnp.cpp:71): a
+            # near-parallel ray casts to an arbitrarily distant point that
+            # would poison PnP as a fixed landmark — keep the inverse-depth
+            # landmark instead. Also require positive ray length
+            # (cheirality of the cast point).
+            denom = jnp.einsum("ti,ti->t", n, bearing)
+            not_par = jnp.abs(denom) >= (
+                jnp.linalg.norm(bearing, axis=-1)
+                * jnp.asarray(np.sin(np.deg2rad(20.0)), denom.dtype))
+            s_ray = jnp.einsum("ti,ti->t", cast - o, bearing)
+            use_cast = is_plane & not_par & (s_ray > 0)
+            return jnp.where(use_cast[:, None], cast, x_world)
 
         self.plane_points = jax.jit(plane_points)
 
@@ -425,7 +442,16 @@ class DeviceKernels:
                     escape_dist=float(getattr(cfg, "plane_escape_distance", 0.1)),
                 )
             w2 = ba_mod.post_solve_update(w2, extr, K)
-            return w2, info, win.landmark_points(w2, extr)
+            # fresh post-solve geometry riding the same fetch: multi-view
+            # triangulations + baselines feed the host plane refit
+            # (Plane::update_parameter re-triangulates member tracks from
+            # current poses, plane.cpp:64-76 — refitting from stale
+            # landmark/cast points is self-reinforcing and jolts the
+            # solver), landmark cloud feeds forensics
+            tri_pts, tri_inv_d, tri_ok = win.triangulate_tracks(w2, extr)
+            baseline = win.track_baselines(w2)
+            return (w2, info, win.landmark_points(w2, extr),
+                    (tri_pts, tri_inv_d, tri_ok, baseline))
 
         self.ba_step = jax.jit(ba_step, static_argnums=(7,))
 

@@ -72,6 +72,12 @@ class PlaneExtractor:
         self._find_plane = jax.jit(
             lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask, threshold=thr)
         )
+        # refit RANSAC is looser than detection (0.05 vs 0.03,
+        # plane.cpp:76 vs plane_extractor.cpp:56)
+        self._refit_plane = jax.jit(
+            lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask,
+                                                         threshold=0.05)
+        )
         self._pending = None  # in-flight async detection (issue_detection)
 
     def _next_key(self):
@@ -398,32 +404,59 @@ class PlaneExtractor:
                 if changed:
                     break
 
-    def update_parameters(self, hw):
-        """Re-fit each plane from its member landmarks
-        (Plane::update_parameter, plane.cpp:64-114)."""
-        pts = self._landmarks(hw)
+    def update_parameters(self, hw, fresh=None):
+        """Re-fit each plane from FRESH triangulations of its mature
+        member tracks (Plane::update_parameter, plane.cpp:64-114).
+
+        The reference's refit evidence is strictly gated: member tracks
+        are RE-TRIANGULATED from current poses (plane.cpp:70-71 — not
+        their stored landmark, which for plane members is a point cast
+        onto the old plane, i.e. circular evidence), must have
+        enough_baseline and life >= 15, and the refit is SKIPPED entirely
+        below 50 such points (plane.cpp:74). RANSAC threshold here is
+        0.05 (looser than detection's 0.03, plane.cpp:76), and the PCA
+        refinement only replaces the RANSAC plane at > 30 inliers.
+        Violating any of these (round 2 refit: stale landmarks, >= 3
+        points, no maturity gates) produced per-keyframe parameter jolts
+        that spiked the next BA's initial cost ~1e6.
+
+        fresh: optional (tri_pts (T, 3), tri_inv_d (T,), tri_ok (T,),
+        baseline (T,)) from the solver fetch (kernels.ba_step). Without
+        it, falls back to host triangulation-free landmarks (tests /
+        legacy callers) under the same gates minus tri_ok.
+        """
+        if fresh is not None:
+            pts_np, inv_d, tri_ok, baseline = [np.asarray(a) for a in fresh]
+            well = tri_ok.astype(bool)
+        else:
+            pts_np = self._landmarks(hw)
+            inv_d = hw.inv_depth
+            baseline = self._baseline(hw, pts_np)
+            well = np.ones(hw.T, bool)
+        well = (
+            well & hw.track_mask & (hw.track_life >= 15)
+            & ((baseline > 0.5)
+               | ((inv_d < 5.0) & (baseline * np.abs(inv_d) > 0.5)))
+        )
         for s in np.nonzero(hw.plane_mask)[0]:
-            m = (hw.plane_id == s) & hw.track_mask
-            if m.sum() < 3:
+            m = (hw.plane_id == s) & well
+            if m.sum() < 50:
+                continue  # plane.cpp:74 — no refit without strong evidence
+            pts_d, m_d = jax.device_put((pts_np.astype(self.k.dtype), m))
+            inl = np.array(jax.device_get(
+                self._refit_plane(self._next_key(), pts_d, m_d)[2])) & m
+            if inl.sum() <= 30:
                 continue
-            if m.sum() >= 50:
-                pts_d, m_d = jax.device_put((pts.astype(self.k.dtype), m))
-                inl = np.array(jax.device_get(
-                    self._find_plane(self._next_key(), pts_d, m_d)[2]))
-                fit_mask = inl & m
-                if fit_mask.sum() < 3:
-                    fit_mask = m
-            else:
-                fit_mask = m
-            n2, d2, cog = _refine_plane_pca_np(pts, fit_mask)
+            n2, d2, cog = _refine_plane_pca_np(pts_np, inl)
             hw.plane_normal[s] = n2
             hw.plane_distance[s] = d2
             # rebuild + centralize the sector extent
             # (plane->sector_area.centralize(), sliding_window_tracker.cpp:131)
             basis = nplie.s2_tangential_basis(n2)
             # built directly at the member centroid — already centralized
+            members = (hw.plane_id == s) & hw.track_mask
             self.areas[s] = sa.insert(
-                sa.SectorArea.empty(np.array(cog), basis), pts[m])
+                sa.SectorArea.empty(np.array(cog), basis), pts_np[members])
 
     # ------------------------------------------------------------------
     def plane_track_points(self, w_dev, x_world):

@@ -29,6 +29,7 @@ class SlidingWindowTracker:
         self.ft = feature_tracker
         self.planes = plane_extractor
         self.skipped_frames = 0
+        self._fresh_tri = None  # post-solve triangulations from ba_step
         # (t, q, p, v, bg, ba) of the newest optimized frame, for predict_pose
         tail = self.hw.n_frames - 1
         self.latest_state = self._state_of(tail)
@@ -127,11 +128,12 @@ class SlidingWindowTracker:
             if self.planes is not None:
                 pend_dev = self.planes.issue_detection(self.hw)
             with forensics.timer("bundle_adjustor_solve_time"):
-                w, info, xw_dev = self.k.ba_step(
+                w, info, xw_dev, tri_dev = self.k.ba_step(
                     w, *ops, not hw.prior_valid)
                 jax.block_until_ready(w.p)
             hw.prior_valid = True
-            info, xw, pend_h = hw.from_device(w, extra=(info, xw_dev, pend_dev))
+            info, xw, self._fresh_tri, pend_h = hw.from_device(
+                w, extra=(info, xw_dev, tri_dev, pend_dev))
             if self.planes is not None:
                 self.planes.store_pending_result(pend_h)
             forensics.set("solver_info", {k_: float(v) for k_, v in info.items()})
@@ -188,7 +190,10 @@ class SlidingWindowTracker:
 
         if tail_was_keyframe and self.planes is not None:
             self.planes.merge_planes(self.hw)
-            self.planes.update_parameters(self.hw)
+            # refit from FRESH post-solve triangulations fetched with the
+            # BA results (Plane::update_parameter re-triangulates,
+            # plane.cpp:64-76) — never from stale cast points
+            self.planes.update_parameters(self.hw, fresh=self._fresh_tri)
 
         self.latest_state = self._state_of(hw.n_frames - 1)
         return True

@@ -55,6 +55,7 @@ class BAConfig(NamedTuple):
     min_plane_tracks: int = 20        # bundle_adjustor.cpp:162
     use_inertial: bool = True
     use_planes: bool = True
+    cauchy_scale: float = 1.0  # robust-loss scale in whitened units (see Config.cauchy_scale)
     fused_preint: bool = False   # struct-of-arrays fused preint factor bank
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
@@ -113,10 +114,18 @@ def _active_dims(w: WindowState):
 # residual evaluation (shared by cost and linearization)
 # ----------------------------------------------------------------------------
 
-def _cauchy_w(s):
-    """IRLS weight of ceres::CauchyLoss(1.0): rho(s) = log(1+s),
-    w = rho'(s) = 1/(1+s), applied as sqrt(w) on residual and Jacobian."""
-    return 1.0 / (1.0 + s)
+def _cauchy_w(s, c2):
+    """IRLS weight of ceres::CauchyLoss(c): rho(s) = c^2 log(1+s/c^2),
+    w = rho'(s) = 1/(1+s/c^2), applied as sqrt(w) on residual and
+    Jacobian (reference: CauchyLoss(1.0), bundle_adjustor.cpp:142-161;
+    the scale is configurable here so a few pixels of systematic
+    front-end error do not saturate vision against the stiff IMU)."""
+    return 1.0 / (1.0 + s / c2)
+
+
+def _cauchy_rho(s, c2):
+    """Robustified cost of the squared residual s."""
+    return c2 * jnp.log1p(s / c2)
 
 
 def _repro_residual_t(delta13, q_t, p_t, q_r, p_r, d, z_r, z_t, extr, sic):
@@ -176,6 +185,7 @@ def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig,
     repro_mask, depth_active, plane_track = _factor_masks(w, cfg, tp_axis)
     q_ref, p_ref, z_ref = _gather_track_inputs(w)
     sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
+    c2 = jnp.asarray(cfg.cauchy_scale * cfg.cauchy_scale, dtype)
 
     def one_obs(q_t, p_t, z_t, q_r, p_r, z_r, d):
         return factors.reprojection_residual(q_t, p_t, q_r, p_r, d, z_r, z_t, extr, sic)
@@ -185,7 +195,7 @@ def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig,
         in_axes=(0, 0, 0, None, None, None, None),
     )(w.q, w.p, w.kp, q_ref, p_ref, z_ref, w.inv_depth)  # (F, T, 2)
     s = jnp.sum(r * r, axis=-1) * repro_mask.astype(dtype)
-    cost = jnp.sum(jnp.log1p(s) * repro_mask.astype(dtype))
+    cost = jnp.sum(_cauchy_rho(s, c2) * repro_mask.astype(dtype))
 
     if cfg.use_inertial:
         mask_pre = w.frame_mask[:-1] & w.frame_mask[1:] & w.delta_valid[1:]
@@ -217,7 +227,7 @@ def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig,
             w.kp, obs_cols, w.plane_normal[pid], w.plane_distance[pid]
         )  # (T,)
         spl = rpl * rpl * plane_track.astype(dtype)
-        cost = cost + jnp.sum(jnp.log1p(spl) * plane_track.astype(dtype))
+        cost = cost + jnp.sum(_cauchy_rho(spl, c2) * plane_track.astype(dtype))
     return cost
 
 
@@ -231,6 +241,7 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
     repro_mask, depth_active, plane_track = _factor_masks(w, cfg, tp_axis)
     q_ref, p_ref, z_ref = _gather_track_inputs(w)
     sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
+    c2 = jnp.asarray(cfg.cauchy_scale * cfg.cauchy_scale, dtype)
 
     Hpp = jnp.zeros((F, 15, F, 15), dtype)
     bp = jnp.zeros((F, 15), dtype)
@@ -247,8 +258,8 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
 
     m = repro_mask.astype(dtype)
     s = jnp.sum(r * r, axis=-1)
-    sqrt_wgt = jnp.sqrt(_cauchy_w(s)) * m          # (F, T)
-    cost = jnp.sum(jnp.log1p(s) * m)
+    sqrt_wgt = jnp.sqrt(_cauchy_w(s, c2)) * m          # (F, T)
+    cost = jnp.sum(_cauchy_rho(s, c2) * m)
     r_w = r * sqrt_wgt[..., None]
     J_w = J * sqrt_wgt[..., None, None]
     J_tgt = J_w[..., 0:6]    # (F, T, 2, 6)
@@ -317,26 +328,26 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
     Hpp = Hpp + (Jm.T @ Jm).reshape(F, 15, F, 15)
     bp = bp + (Jm.T @ rm).reshape(F, 15)
 
-    # ---- augmented plane factors ----
+    # ---- augmented plane factors (analytic chain rule through the
+    # pseudo-inverse — the F*6-tangent jacfwd per track cost ~8x the rest
+    # of the solve combined; validated bit-tight against the autodiff
+    # path in tests/test_analytic_jacobians.py) ----
     if cfg.use_planes:
         P = w.plane_mask.shape[0]
         pid = jnp.clip(w.plane_id, 0, P - 1)
         psic = jnp.asarray(cfg.plane_sqrt_inv_cov, dtype)
         obs_cols = w.obs_mask & w.frame_mask[:, None]
 
-        def one_plane(kps, omask, n, dist):
-            f = lambda d6F: _plane_residual_t(d6F, w.q, w.p, kps, omask, n, dist, extr, psic)
-            return value_and_jacfwd(f, jnp.zeros(F * 6, dtype))
-
-        rpl, Jpl = jax.vmap(one_plane, in_axes=(1, 1, 0, 0))(
-            w.kp, obs_cols, w.plane_normal[pid], w.plane_distance[pid]
-        )  # (T,), (T, F*6)
+        rpl, Jpl = factors.augmented_plane_residual_and_pose_jacobian(
+            w.q, w.p, w.kp, obs_cols, w.plane_normal[pid],
+            w.plane_distance[pid], extr, psic,
+        )  # (T,), (T, F, 6)
         mp = plane_track.astype(dtype)
         spl = rpl * rpl
-        wpl = jnp.sqrt(_cauchy_w(spl)) * mp
-        cost = cost + jnp.sum(jnp.log1p(spl) * mp)
+        wpl = jnp.sqrt(_cauchy_w(spl, c2)) * mp
+        cost = cost + jnp.sum(_cauchy_rho(spl, c2) * mp)
         rpl_w = rpl * wpl
-        Jpl_w = (Jpl * wpl[:, None]).reshape(T, F, 6)
+        Jpl_w = Jpl * wpl[:, None, None]
         Hpl = jnp.einsum("tgi,thj->gihj", Jpl_w, Jpl_w)
         Hpp = Hpp.at[:, 0:6, :, 0:6].add(Hpl)
         bp = bp.at[:, 0:6].add(jnp.einsum("tgi,t->gi", Jpl_w, rpl_w))

@@ -304,6 +304,111 @@ def augmented_plane_distance_residual(
     return sqrt_inv_cov * r
 
 
+def augmented_plane_residual_and_pose_jacobian(
+    q_frames, p_frames, kps_ft, mask_ft, normals_t, dists_t,
+    extr: Extrinsics, sqrt_inv_cov, regularization_weight=1.0,
+):
+    """Batched residual + analytic pose Jacobian of the augmented plane
+    factor for ALL track columns at once — the chain rule through the
+    clamped pseudo-inverse, mirroring the reference's analytic Jacobians
+    (augmented_plane_distance_error_cost.h:98-131) instead of pushing an
+    F*6-dim tangent through the implicit solve per track (which made the
+    plane-enabled solve ~8x the cost of everything else combined).
+
+    Derivation: r = sic*(n.x - d) with (A^T A) x = -A^T b. The implicit
+    function theorem gives dr = -sic * g^T (dA^T s + A^T (dA x + db)),
+    where g = (A^T A)^+ n and s = A x + b. Only frame f's two DLT rows
+    depend on frame f's pose, and their derivatives split into a
+    track-independent per-frame part (dRsw, dTsw — obtained exactly by a
+    6-tangent jacfwd of the tiny camera-matrix map) and the track's
+    scalar pixel coordinates. The expensive per-track solve is computed
+    ONCE; everything else is batched einsum work.
+
+    q_frames (F, 4), p_frames (F, 3), kps_ft (F, T, 2), mask_ft (F, T),
+    normals_t (T, 3), dists_t (T,).
+    Returns (r (T,), J (T, F, 6)).
+    """
+    F = q_frames.shape[0]
+    dtype = p_frames.dtype
+
+    def camera_rows(d6, q, p):
+        q2 = lie.quat_mul(q, lie.expmap(d6[0:3]))
+        p2 = p + d6[3:6]
+        q_ws = lie.quat_mul(q2, extr.q_bc)
+        Rsw = lie.quat_to_mat(lie.quat_conj(q_ws))
+        ps = p2 + lie.quat_rotate(q2, extr.p_bc)
+        Tsw = -Rsw @ ps
+        return Rsw, Tsw
+
+    zero6 = jnp.zeros(6, dtype)
+
+    def one_frame(q, p):
+        (Rsw, Tsw), lin = jax.linearize(lambda d: camera_rows(d, q, p), zero6)
+        dR, dT = jax.vmap(lin)(jnp.eye(6, dtype=dtype))  # (6,3,3), (6,3)
+        return Rsw, Tsw, dR, dT
+
+    Rsw, Tsw, dR, dT = jax.vmap(one_frame)(q_frames, p_frames)
+    # Rsw (F,3,3), Tsw (F,3), dR (F,6,3,3), dT (F,6,3)
+
+    u = kps_ft[..., 0]                  # (F, T)
+    v = kps_ft[..., 1]
+    m = mask_ft.astype(dtype)
+    # DLT rows per (frame, track): a.x + b = 0
+    a0 = (u[..., None] * Rsw[:, None, 2, :] - Rsw[:, None, 0, :]) * m[..., None]
+    a1 = (v[..., None] * Rsw[:, None, 2, :] - Rsw[:, None, 1, :]) * m[..., None]
+    b0 = (u * Tsw[:, None, 2] - Tsw[:, None, 0]) * m
+    b1 = (v * Tsw[:, None, 2] - Tsw[:, None, 1]) * m
+
+    w = jnp.asarray(regularization_weight, dtype)
+    # normal equations per track, incl. the plane-regularization row
+    # (w*n, -w*d); see augmented_plane_distance_residual for the sign note
+    nn = w * normals_t                              # (T, 3)
+    AtA = (
+        jnp.einsum("fti,ftj->tij", a0, a0)
+        + jnp.einsum("fti,ftj->tij", a1, a1)
+        + nn[:, :, None] * nn[:, None, :]
+    )
+    Atb = (
+        jnp.einsum("fti,ft->ti", a0, b0)
+        + jnp.einsum("fti,ft->ti", a1, b1)
+        + nn * (-w * dists_t)[:, None]
+    )
+    lam, V = jnp.linalg.eigh(AtA)
+    lam_inv = jnp.where(lam > 1e-8, 1.0 / jnp.where(lam > 1e-8, lam, 1.0), 0.0)
+    AtAinv = jnp.einsum("tik,tk,tjk->tij", V, lam_inv, V)
+    x = -jnp.einsum("tij,tj->ti", AtAinv, Atb)      # (T, 3)
+    g = jnp.einsum("tij,tj->ti", AtAinv, normals_t)  # (T, 3)
+    r = jnp.einsum("ti,ti->t", normals_t, x) - dists_t
+
+    # row residuals s = A x + b (the plane row never enters the pose
+    # Jacobian: its derivative w.r.t. poses is zero)
+    s0 = jnp.einsum("fti,ti->ft", a0, x) + b0       # (F, T)
+    s1 = jnp.einsum("fti,ti->ft", a1, x) + b1
+    a0g = jnp.einsum("fti,ti->ft", a0, g)
+    a1g = jnp.einsum("fti,ti->ft", a1, g)
+
+    # track-dependent derivative contractions (masking rides the masked
+    # row factors s*/a*g — every Jacobian term carries exactly one)
+    DRg = jnp.einsum("fkij,tj->tfki", dR, g)        # (T, F, 6, 3)
+    DRx = jnp.einsum("fkij,tj->tfki", dR, x)
+    uT = u.T[:, :, None]                            # (T, F, 1)
+    vT = v.T[:, :, None]
+    da0g = uT * DRg[..., 2] - DRg[..., 0]           # (T, F, 6)
+    da1g = vT * DRg[..., 2] - DRg[..., 1]
+    da0x = uT * DRx[..., 2] - DRx[..., 0]
+    da1x = vT * DRx[..., 2] - DRx[..., 1]
+    db0 = uT * dT[None, :, :, 2] - dT[None, :, :, 0]  # (T, F, 6)
+    db1 = vT * dT[None, :, :, 2] - dT[None, :, :, 1]
+
+    J = -(
+        s0.T[:, :, None] * da0g + s1.T[:, :, None] * da1g
+        + a0g.T[:, :, None] * (da0x + db0)
+        + a1g.T[:, :, None] * (da1x + db1)
+    )
+    sic = jnp.asarray(sqrt_inv_cov, dtype)
+    return sic * r, sic * J
+
+
 def plane_cast_point(normal, distance, origin, bearing):
     """Ray-cast from origin along bearing onto the plane n.x = d
     (map/plane.cpp:120-126). Returns the 3D intersection (garbage when

@@ -30,6 +30,7 @@ class PnPConfig(NamedTuple):
     iterations: int = 10
     kp_sqrt_inv_cov: float = 458.0
     use_inertial: bool = True
+    cauchy_scale: float = 1.0  # robust-loss scale in whitened units
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
@@ -49,6 +50,7 @@ def solve_pnp(
     """
     dtype = p0.dtype
     sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
+    c2 = jnp.asarray(cfg.cauchy_scale * cfg.cauchy_scale, dtype)
     m = obs_mask.astype(dtype)
 
     def residuals(state):
@@ -57,7 +59,7 @@ def solve_pnp(
             lambda x, zz: factors.pose_only_reprojection_residual(q, p, x, zz, extr, sic)
         )(x_world, z_obs)  # (T, 2)
         s = jnp.sum(r2 * r2, axis=-1)
-        cost = jnp.sum(jnp.log1p(s) * m)
+        cost = jnp.sum(c2 * jnp.log1p(s / c2) * m)
         if cfg.use_inertial:
             rp = factors.preintegration_residual(
                 last_q, last_p, last_v, last_bg, last_ba,
@@ -85,7 +87,7 @@ def solve_pnp(
         r2, s, rp, cost0 = residuals(state)
         _, J2 = value_and_jacfwd(r_repro_t, jnp.zeros(15, dtype))  # (2T, 15)
         J2 = J2.reshape(-1, 2, 15)
-        wgt = jnp.sqrt(1.0 / (1.0 + s)) * m
+        wgt = jnp.sqrt(1.0 / (1.0 + s / c2)) * m
         r_w = r2 * wgt[:, None]
         J_w = J2 * wgt[:, None, None]
         H = jnp.einsum("tai,taj->ij", J_w, J_w)

@@ -309,7 +309,7 @@ def min_eig_response(img, kp, half):
 def track_keypoints(
     pyr_prev, pyr_next, kp_prev, kp_init, mask,
     patch=21, iters=10, max_error=0.08, border=20.0, min_eig=1e-6,
-    bf16_resample=False,
+    bf16_resample=False, fb_threshold=0.0,
 ):
     """Track keypoints from the previous to the next image.
 
@@ -323,6 +323,17 @@ def track_keypoints(
     (opencv_image.cpp:110-120), or an untrackable (flat/1-D) source patch
     (min_eig, the cv::calcOpticalFlowPyrLK minEigThreshold role; measured
     margins: textured corners >= 4e-5 after CLAHE, uniform frames < 1e-16).
+
+    fb_threshold > 0 adds a forward-backward consistency gate: the
+    landing point is re-tracked through the full pyramid back into the
+    previous image (initialized at the reversed flow) and the track is
+    killed unless the round trip returns within fb_threshold pixels of
+    the start. This is the geometric outlier cull the photometric
+    max_error gate cannot provide — a track that slid along an edge or
+    jumped to a repeated-texture match has a small residual but a large
+    round-trip error (the role of the reference's F-RANSAC gate backstop,
+    opencv_image.cpp:121-129, at per-track rather than epipolar
+    granularity). Costs one extra KLT pass.
     """
     dtype = kp_prev.dtype
     half = patch // 2
@@ -359,4 +370,18 @@ def track_keypoints(
     lam_n = min_eig_response(pyr_next[0], kp_n, half)
     status = (mask & inb & (err < max_error) & finite
               & (lam_p > min_eig) & (lam_n > min_eig))
+
+    if fb_threshold and fb_threshold > 0.0:
+        flow_f = kp_n - kp_prev
+        flow_b = -flow_f / scale
+        for lv in range(levels - 1, -1, -1):
+            s = 2.0**lv
+            flow_b, _ = _track_level(
+                pyr_next[lv], pyr_prev[lv], kp_n / s, flow_b, iters, half,
+                dtype, bf16=bf16_resample,
+            )
+            if lv > 0:
+                flow_b = flow_b * 2.0
+        roundtrip = jnp.linalg.norm(flow_f + flow_b, axis=-1)
+        status = status & (roundtrip < fb_threshold)
     return kp_next, status

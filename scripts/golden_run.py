@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--seed", type=int, default=648)
     ap.add_argument("--imu-noise", type=float, default=0.0,
                     help="gyro/accel noise scale (0 = ideal IMU)")
+    ap.add_argument("--cauchy", type=float, default=None,
+                    help="override Config.cauchy_scale")
+    ap.add_argument("--fb", type=float, default=None,
+                    help="override forward-backward KLT gate (px, 0=off)")
     ap.add_argument("--save-frames", default=None,
                     help="directory to dump a few rendered+undistorted PNGs")
     args = ap.parse_args()
@@ -54,6 +58,10 @@ def main():
         cfg.image_size = (512, 512)
     if args.no_planes:
         cfg.enable_plane_constraint = False
+    if args.cauchy is not None:
+        cfg.cauchy_scale = args.cauchy
+    if args.fb is not None:
+        cfg.feature_tracker_fb_threshold = args.fb
 
     scene = synthetic.make_scene(
         duration=args.duration, fps=args.fps, imu_rate=200.0,

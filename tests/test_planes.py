@@ -306,7 +306,7 @@ def test_plane_track_escape(plane_scene):
                np.zeros((F, N, 3), dt), np.zeros((F, N), bool),
                hw.frame_t.astype(dt))
     w_in, ops = hw.to_device(extra=imu_ops + (hw.track_life.copy(),))
-    w_out, sol_info, _ = kern.ba_step(w_in, *ops, False)
+    w_out, sol_info, _, _ = kern.ba_step(w_in, *ops, False)
     flags_out = np.array(w_out.track_flags)
     assert not (flags_out[c] & TF_PLANE)
     assert flags_out[c] & TF_VALID
