@@ -319,8 +319,14 @@ class Initializer:
         return self.k.attach_deltas(w, ts, ws, accs, mask, t_frames)
 
     def _pack_imu(self, hw: HostWindow):
+        # mirrored init keyframes splice `keyframe_gap` inter-frame spans
+        # each (initializer.cpp:40-84), so use the window-grid capacity
+        # with integral-preserving downsampling, never truncation (see
+        # SlidingWindowTracker._imu_ops_host)
+        from pvio_tpu.imu.preintegration import fit_span
+
         F = hw.F
-        N = self.cfg.imu_buffer_capacity
+        N = self.cfg.window_imu_capacity
         dt = self.k.dtype
         ts = np.zeros((F, N))
         ws = np.zeros((F, N, 3))
@@ -329,10 +335,13 @@ class Initializer:
         for j in range(F):
             if hw.imu_ts[j] is None or len(hw.imu_ts[j]) == 0:
                 continue
-            n = min(len(hw.imu_ts[j]), N)
-            ts[j, :n] = hw.imu_ts[j][-n:]
-            ws[j, :n] = hw.imu_w[j][-n:]
-            accs[j, :n] = hw.imu_a[j][-n:]
+            tj, wj, aj = hw.imu_ts[j], hw.imu_w[j], hw.imu_a[j]
+            if len(tj) > N:
+                tj, wj, aj = fit_span(tj, wj, aj, hw.frame_t[j], N)
+            n = len(tj)
+            ts[j, :n] = tj
+            ws[j, :n] = wj
+            accs[j, :n] = aj
             mask[j, :n] = True
         return (jnp.asarray(ts, dt), jnp.asarray(ws, dt), jnp.asarray(accs, dt),
                 jnp.asarray(mask), jnp.asarray(hw.frame_t, dt))

@@ -149,6 +149,10 @@ class DeviceKernels:
 
         self.track = jax.jit(track)
 
+        # (the axon serving backend reports its own platform name, so
+        # test for the CPU fallback rather than for "tpu")
+        use_pallas = jax.default_backend() != "cpu"
+
         def detect(img0, existing, existing_mask):
             return detect_mod.detect_keypoints(
                 img0,
@@ -157,6 +161,7 @@ class DeviceKernels:
                 existing_xy=existing,
                 existing_mask=existing_mask,
                 border=20,
+                use_pallas_response=use_pallas,
             )
 
         self.detect = jax.jit(detect)

@@ -285,9 +285,19 @@ class SlidingWindowTracker:
 
     def _imu_ops_host(self):
         """Per-frame padded IMU sample grids (host numpy) for delta
-        re-integration inside the fused ba/marg steps."""
+        re-integration inside the fused ba/marg steps.
+
+        Non-keyframe tail replacements MERGE spans, so a frame can hold
+        many inter-frame spans; the grid capacity is
+        window_imu_capacity (> the single-span capacity) and overlong
+        spans are integral-preserving downsampled. Truncating instead
+        (round-2 behavior) silently shrank the preintegration interval
+        of merged spans, which walked the bias estimates and caused the
+        long-run scale drift."""
+        from pvio_tpu.imu.preintegration import fit_span
+
         F = self.hw.F
-        N = self.cfg.imu_buffer_capacity
+        N = self.cfg.window_imu_capacity
         ts = np.zeros((F, N))
         ws = np.zeros((F, N, 3))
         accs = np.zeros((F, N, 3))
@@ -295,10 +305,13 @@ class SlidingWindowTracker:
         for j in range(F):
             if self.hw.imu_ts[j] is None or len(self.hw.imu_ts[j]) == 0:
                 continue
-            n = min(len(self.hw.imu_ts[j]), N)
-            ts[j, :n] = self.hw.imu_ts[j][-n:]
-            ws[j, :n] = self.hw.imu_w[j][-n:]
-            accs[j, :n] = self.hw.imu_a[j][-n:]
+            tj, wj, aj = self.hw.imu_ts[j], self.hw.imu_w[j], self.hw.imu_a[j]
+            if len(tj) > N:
+                tj, wj, aj = fit_span(tj, wj, aj, self.hw.frame_t[j], N)
+            n = len(tj)
+            ts[j, :n] = tj
+            ws[j, :n] = wj
+            accs[j, :n] = aj
             mask[j, :n] = True
         dt = np.float32 if self.k.dtype == jnp.float32 else np.float64
         return (ts.astype(dt), ws.astype(dt), accs.astype(dt),

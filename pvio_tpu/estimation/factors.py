@@ -221,19 +221,50 @@ def marginalization_residual(q, p, v, bg, ba, prior):
 # Plane factor: implicit DLT triangulation augmented with a plane row
 # ----------------------------------------------------------------------------
 
+def _sym3_inv(M, ridge_rel=None):
+    """Closed-form inverse of a batched symmetric PSD 3x3 via the
+    adjugate, with a trace-relative Tikhonov ridge standing in for the
+    reference's eigenvalue clamp at 1e-8
+    (augmented_plane_distance_error_cost.h:92-95). The plane
+    regularization row guarantees an O(1) eigenvalue along the plane
+    normal, so near-singular directions are orthogonal to the residual's
+    n-projection and the ridge-vs-clamp difference is second order; the
+    closed form keeps the plane factor inside one fused XLA kernel
+    (batched eigh is a fusion-breaking custom call on TPU)."""
+    if ridge_rel is None:
+        # at the working precision's eigenvalue noise floor: the ridge
+        # then perturbs the solution no more than roundoff already does
+        ridge_rel = 1e-7 if M.dtype == jnp.float32 else 1e-13
+    tr = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]
+    eps = ridge_rel * tr + jnp.asarray(1e-18, M.dtype)
+    Mr = M + eps[..., None, None] * jnp.eye(3, dtype=M.dtype)
+    a, b, c = Mr[..., 0, 0], Mr[..., 0, 1], Mr[..., 0, 2]
+    d, e, f = Mr[..., 1, 1], Mr[..., 1, 2], Mr[..., 2, 2]
+    A00 = d * f - e * e
+    A01 = c * e - b * f
+    A02 = b * e - c * d
+    A11 = a * f - c * c
+    A12 = b * c - a * e
+    A22 = a * d - b * b
+    det = a * A00 + b * A01 + c * A02
+    adj = jnp.stack([
+        jnp.stack([A00, A01, A02], -1),
+        jnp.stack([A01, A11, A12], -1),
+        jnp.stack([A02, A12, A22], -1),
+    ], -2)
+    return adj / det[..., None, None]
+
+
 @jax.custom_jvp
 def _solve_augmented_point(A, b):
-    """x = -pinv(A^T A) A^T b with eigenvalues clamped at 1e-8
-    (augmented_plane_distance_error_cost.h:87-96). The JVP comes from the
-    normal equations (A^T A) x = -A^T b via the implicit function theorem —
-    the same formulas as the reference's analytic Jacobians
-    (:98-131) — avoiding differentiation through the eigendecomposition.
+    """x = -(A^T A)^+ A^T b (augmented_plane_distance_error_cost.h:87-96;
+    pseudo-inverse realised by _sym3_inv). The JVP comes from the normal
+    equations (A^T A) x = -A^T b via the implicit function theorem — the
+    same formulas as the reference's analytic Jacobians (:98-131).
     A (..., R, 3), b (..., R)."""
     AtA = jnp.einsum("...ri,...rj->...ij", A, A)
     Atb = jnp.einsum("...ri,...r->...i", A, b)
-    lam, V = jnp.linalg.eigh(AtA)
-    lam_inv = jnp.where(lam > 1e-8, 1.0 / jnp.where(lam > 1e-8, lam, 1.0), 0.0)
-    AtAinv = jnp.einsum("...ik,...k,...jk->...ij", V, lam_inv, V)
+    AtAinv = _sym3_inv(AtA)
     return -jnp.einsum("...ij,...j->...i", AtAinv, Atb)
 
 
@@ -243,9 +274,7 @@ def _solve_augmented_point_jvp(primals, tangents):
     dA, db = tangents
     AtA = jnp.einsum("...ri,...rj->...ij", A, A)
     Atb = jnp.einsum("...ri,...r->...i", A, b)
-    lam, V = jnp.linalg.eigh(AtA)
-    lam_inv = jnp.where(lam > 1e-8, 1.0 / jnp.where(lam > 1e-8, lam, 1.0), 0.0)
-    AtAinv = jnp.einsum("...ik,...k,...jk->...ij", V, lam_inv, V)
+    AtAinv = _sym3_inv(AtA)
     x = -jnp.einsum("...ij,...j->...i", AtAinv, Atb)
     # residual of the normal equations: d(AtA) x + d(Atb) =
     #   dA^T (A x + b) + A^T (dA x + db)
@@ -373,9 +402,7 @@ def augmented_plane_residual_and_pose_jacobian(
         + jnp.einsum("fti,ft->ti", a1, b1)
         + nn * (-w * dists_t)[:, None]
     )
-    lam, V = jnp.linalg.eigh(AtA)
-    lam_inv = jnp.where(lam > 1e-8, 1.0 / jnp.where(lam > 1e-8, lam, 1.0), 0.0)
-    AtAinv = jnp.einsum("tik,tk,tjk->tij", V, lam_inv, V)
+    AtAinv = _sym3_inv(AtA)
     x = -jnp.einsum("tij,tj->ti", AtAinv, Atb)      # (T, 3)
     g = jnp.einsum("tij,tj->ti", AtAinv, normals_t)  # (T, 3)
     r = jnp.einsum("ti,ti->t", normals_t, x) - dists_t

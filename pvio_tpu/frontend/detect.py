@@ -49,6 +49,7 @@ def detect_keypoints(
     quality_level=1e-3,
     min_response=1e-8,
     num_candidates=1024,
+    use_pallas_response=False,
 ):
     """Detect up to `max_keypoints` corners with Poisson-disk spacing.
 
@@ -58,7 +59,15 @@ def detect_keypoints(
     """
     H, W = img.shape
     dtype = img.dtype
-    resp = shi_tomasi_response(img)
+    if use_pallas_response:
+        # fused single-pass TPU kernel (ops/stencil.py): exact on the
+        # interior; its 2 px circular-shift halo is inside the >= 20 px
+        # detection border cull
+        from pvio_tpu.ops.stencil import shi_tomasi_response_tpu
+
+        resp = shi_tomasi_response_tpu(img)
+    else:
+        resp = shi_tomasi_response(img)
     keep = _nms(resp)
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)

@@ -66,6 +66,44 @@ class ImuNoise(NamedTuple):
         return ImuNoise(sw * eye, sa * eye, sbg * eye, sba * eye)
 
 
+def fit_span(ts, ws, accs, t_end, capacity):
+    """Host-side: fit an IMU sample span into `capacity` samples by
+    integral-preserving downsampling (NEVER by truncation — dropping the
+    head of a span makes the preintegrated delta cover only part of the
+    frame interval, which corrupts the factor and walks the bias
+    estimate; found as the root cause of the round-2 long-run scale
+    drift). Adjacent samples are merged pairwise, the merged sample
+    keeping the earlier timestamp and the duration-weighted mean of
+    (w, a), until the span fits. ts may be empty.
+
+    Returns (ts, ws, accs) numpy arrays with len <= capacity.
+    """
+    import numpy as np
+
+    ts = np.asarray(ts, np.float64)
+    ws = np.asarray(ws, np.float64).reshape(-1, 3)
+    accs = np.asarray(accs, np.float64).reshape(-1, 3)
+    while len(ts) > capacity:
+        # per-sample durations under the piecewise-constant convention:
+        # sample i holds until t_{i+1}, the last until t_end
+        dts = np.diff(np.concatenate([ts, [max(t_end, ts[-1])]]))
+        dts = np.maximum(dts, 0.0)
+        n = len(ts)
+        n2 = n // 2
+        d0 = dts[0 : 2 * n2 : 2]
+        d1 = dts[1 : 2 * n2 : 2]
+        tot = np.maximum(d0 + d1, 1e-12)
+        w2 = (ws[0 : 2 * n2 : 2] * d0[:, None] + ws[1 : 2 * n2 : 2] * d1[:, None]) / tot[:, None]
+        a2 = (accs[0 : 2 * n2 : 2] * d0[:, None] + accs[1 : 2 * n2 : 2] * d1[:, None]) / tot[:, None]
+        t2 = ts[0 : 2 * n2 : 2]
+        if n % 2:
+            t2 = np.concatenate([t2, ts[-1:]])
+            w2 = np.concatenate([w2, ws[-1:]])
+            a2 = np.concatenate([a2, accs[-1:]])
+        ts, ws, accs = t2, w2, a2
+    return ts, ws, accs
+
+
 def _increment(carry, inp, noise):
     """One IMU sample step; dt == 0 is an exact no-op."""
     t, q, p, v, cov9, covbg, covba, J = carry

@@ -100,6 +100,15 @@ class Config:
     track_capacity: int = 256
     plane_capacity: int = 8
     imu_buffer_capacity: int = 64     # max IMU samples between frames
+    # capacity of the per-frame IMU span grids shipped to the fused
+    # BA/marginalization steps. Non-keyframe tail replacements MERGE
+    # spans (sliding_window_tracker.cpp:115-121), so a window frame can
+    # hold up to (keyframe_max_skipped + 2) inter-frame spans; 0 means
+    # 3 * imu_buffer_capacity. Spans that still exceed it are
+    # integral-preserving downsampled (never silently truncated — a
+    # truncated span corrupts the preintegration factor and walks the
+    # bias estimate).
+    window_imu_capacity: int = 0
     dtype: str = "float32"
 
     # --- keyframe gating (sliding_window_tracker.cpp:255-296) ---
@@ -110,6 +119,8 @@ class Config:
     def __post_init__(self):
         if self.window_frame_capacity == 0:
             self.window_frame_capacity = self.sliding_window_size + 1
+        if self.window_imu_capacity == 0:
+            self.window_imu_capacity = 3 * self.imu_buffer_capacity
 
     @property
     def K(self):
