@@ -125,8 +125,16 @@ class FeatureTracker:
             img_d, dq_d, key_d = jax.device_put(
                 (img_h, np.asarray(dq_cam, np_dt), self._next_key_data()))
             # fused preprocess + predicted flow + KLT + F-gate + detect +
-            # merge: one device dispatch per frame
-            pyr, kp_dev, mask_dev, status, det_mask = self.k.frame_step(
+            # merge: one device dispatch per frame. Detection is skipped
+            # while the keypoint budget is nearly full (Poisson-disk
+            # suppression would reject every candidate anyway) — the
+            # previous frame's alive count decides which compiled
+            # variant runs, with zero extra device traffic.
+            min_free = int(getattr(cfg, "feature_tracker_detect_min_free", 0))
+            n_prev_alive = int(prev.kp_mask.sum())
+            step = (self.k.frame_step_nodetect
+                    if Kmax - n_prev_alive < min_free else self.k.frame_step)
+            pyr, kp_dev, mask_dev, status, det_mask = step(
                 self.prev_pyramid, img_d, self._kp_dev, self._mask_dev,
                 dq_d, key_d,
             )

@@ -53,6 +53,7 @@ def _kernel_cache_key(config):
         float(config.kp_sqrt_inv_cov),
         float(getattr(config, "cauchy_scale", 1.0)),
         float(getattr(config, "feature_tracker_fb_threshold", 0.0)),
+        bool(getattr(config, "plane_estimate_in_solver", True)),
         h(config.K), h(config.q_bc), h(config.p_bc),
         h(config.q_bi), h(config.p_bi),
         h(config.imu_cov_g), h(config.imu_cov_a),
@@ -104,6 +105,7 @@ class DeviceKernels:
             min_plane_tracks=config.plane_min_tracks,
             use_inertial=True,
             use_planes=config.enable_plane_constraint,
+            estimate_planes=bool(getattr(config, "plane_estimate_in_solver", True)),
             cauchy_scale=float(getattr(config, "cauchy_scale", 1.0)),
             fused_preint=(jax.default_backend() != "cpu"),
         )
@@ -124,7 +126,11 @@ class DeviceKernels:
         dtype = self.dtype
         extr = self.extr
         K = self.K
-        levels = 3
+        # 3 pyramid images (full, /2, /4): the gyro-predicted initial
+        # flow already absorbs the large inter-frame motion the /8 level
+        # existed for, and every level costs the same (fixed-size
+        # per-keypoint windows) — measured no accuracy change, -25% KLT
+        levels = 2
 
         def preprocess(img):
             # accept 8-bit grayscale natively (the reference's Image ABC is
@@ -181,7 +187,7 @@ class DeviceKernels:
             return jnp.where(mask[:, None], out, kp)
 
         def frame_step(pyr_prev, img_next, kp_prev, mask_prev, dq_cam,
-                       key_data):
+                       key_data, with_detect=True):
             """Fused per-frame frontend: preprocess + gyro-predicted
             initial flow + pyramidal KLT + F-RANSAC gate + detection +
             detection merge, one device dispatch (the reference does all
@@ -189,6 +195,13 @@ class DeviceKernels:
             37-141; splitting it into per-op dispatches wastes launch
             latency). `key_data` is a host-built (2,) uint32 — wrapping it
             in-graph keeps RNG off the host/device round-trip path.
+
+            with_detect=False compiles the detection-free variant: when
+            the keypoint budget is (nearly) full the Poisson-disk
+            suppression against existing keypoints rejects essentially
+            every candidate anyway (opencv_image.cpp:54-86), so the host
+            skips the detection work entirely on those frames and calls
+            this variant — same outputs, det_mask all-false.
 
             Returns (pyr_next, kp_merged, mask_merged, status, det_mask):
             kp_merged keeps tracked keypoints in place and fills free rows
@@ -213,9 +226,13 @@ class DeviceKernels:
             )
             gate_on = (jnp.sum(status) >= 8) & (count >= 8)
             status = jnp.where(gate_on, status & inl, status)
+            Kmax = kp_new.shape[0]
+            if not with_detect:
+                kp_merged = jnp.where(status[:, None], kp_new, 0.0)
+                return (pyr_next, kp_merged, status, status,
+                        jnp.zeros(Kmax, bool))
             det_kp, det_mask = detect(pyr_next[0], kp_new, status)
             # in-graph merge (mirrors the host id bookkeeping rule)
-            Kmax = kp_new.shape[0]
             n_fill = jnp.minimum(jnp.sum(det_mask), Kmax - jnp.sum(status))
             free_idx = jnp.nonzero(~status, size=Kmax, fill_value=Kmax)[0]
             det_idx = jnp.nonzero(det_mask, size=Kmax,
@@ -228,7 +245,9 @@ class DeviceKernels:
             mask_merged = status.at[fill_rows].set(True, mode="drop")
             return pyr_next, kp_merged, mask_merged, status, det_mask
 
-        self.frame_step = jax.jit(frame_step)
+        self.frame_step = jax.jit(partial(frame_step, with_detect=True))
+        self.frame_step_nodetect = jax.jit(
+            partial(frame_step, with_detect=False))
 
         def first_frame_step(img):
             """Fused first-frame frontend: preprocess + detection."""

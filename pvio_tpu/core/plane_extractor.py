@@ -438,8 +438,20 @@ class PlaneExtractor:
             & ((baseline > 0.5)
                | ((inv_d < 5.0) & (baseline * np.abs(inv_d) > 0.5)))
         )
+        in_solver = bool(getattr(self.cfg, "plane_estimate_in_solver", False))
         for s in np.nonzero(hw.plane_mask)[0]:
             m = (hw.plane_id == s) & well
+            members = (hw.plane_id == s) & hw.track_mask
+            if in_solver:
+                # the solver owns (normal, distance) — the host only
+                # maintains the polar extent from the member points
+                if members.sum() >= 3:
+                    cog = pts_np[members].mean(axis=0)
+                    basis = nplie.s2_tangential_basis(hw.plane_normal[s])
+                    self.areas[s] = sa.insert(
+                        sa.SectorArea.empty(np.array(cog), basis),
+                        pts_np[members])
+                continue
             if m.sum() < 50:
                 continue  # plane.cpp:74 — no refit without strong evidence
             pts_d, m_d = jax.device_put((pts_np.astype(self.k.dtype), m))
@@ -454,7 +466,6 @@ class PlaneExtractor:
             # (plane->sector_area.centralize(), sliding_window_tracker.cpp:131)
             basis = nplie.s2_tangential_basis(n2)
             # built directly at the member centroid — already centralized
-            members = (hw.plane_id == s) & hw.track_mask
             self.areas[s] = sa.insert(
                 sa.SectorArea.empty(np.array(cog), basis), pts_np[members])
 

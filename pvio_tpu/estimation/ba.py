@@ -55,6 +55,13 @@ class BAConfig(NamedTuple):
     min_plane_tracks: int = 20        # bundle_adjustor.cpp:162
     use_inertial: bool = True
     use_planes: bool = True
+    # re-estimate plane normal/distance INSIDE the solve (3-dof tangent
+    # per armed plane appended to the reduced camera system). The
+    # reference holds plane parameters constant during BA and hard-refits
+    # them on the host between solves (bundle_adjustor.cpp:120-124,
+    # plane.cpp:64-114); estimating them jointly removes the
+    # refit-vs-solve tug-of-war entirely.
+    estimate_planes: bool = True
     cauchy_scale: float = 1.0  # robust-loss scale in whitened units (see Config.cauchy_scale)
     fused_preint: bool = False   # struct-of-arrays fused preint factor bank
     lm_lambda_init: float = 1e-4
@@ -96,7 +103,9 @@ def _factor_masks(w: WindowState, cfg: BAConfig, tp_axis=None):
     repro_mask = repro_mask & ref_ok[None, :]
     depth_active = repro_track & ref_ok & jnp.any(repro_mask, axis=0)
     plane_track = big_track & ref_ok
-    return repro_mask, depth_active, plane_track
+    if not cfg.use_planes:
+        plane_big = jnp.zeros(P, bool)
+    return repro_mask, depth_active, plane_track, plane_big
 
 
 def _active_dims(w: WindowState):
@@ -182,7 +191,7 @@ def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig,
                   tp_axis=None):
     """Total robustified cost at the current state (no Jacobians)."""
     dtype = w.p.dtype
-    repro_mask, depth_active, plane_track = _factor_masks(w, cfg, tp_axis)
+    repro_mask, depth_active, plane_track, _ = _factor_masks(w, cfg, tp_axis)
     q_ref, p_ref, z_ref = _gather_track_inputs(w)
     sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
     c2 = jnp.asarray(cfg.cauchy_scale * cfg.cauchy_scale, dtype)
@@ -236,9 +245,15 @@ def evaluate_cost(w: WindowState, extr: Extrinsics, cfg: BAConfig,
 # ----------------------------------------------------------------------------
 
 def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
+    """Build the Gauss-Newton system. Returns (H (D, D), Hpd (D, T),
+    Hdd (T,), b (D,), bd (T,), depth_active (T,), cost, dims (D,)) where
+    D = F*15, extended to F*15 + P*3 when plane parameters are estimated
+    in-solve (cfg.estimate_planes) — the extra dims are each armed
+    plane's (normal-tangent, distance) block, and `dims` is the active-
+    dimension mask over the WHOLE extended state."""
     F, T = w.kp.shape[0], w.kp.shape[1]
     dtype = w.p.dtype
-    repro_mask, depth_active, plane_track = _factor_masks(w, cfg, tp_axis)
+    repro_mask, depth_active, plane_track, plane_big = _factor_masks(w, cfg, tp_axis)
     q_ref, p_ref, z_ref = _gather_track_inputs(w)
     sic = jnp.asarray(cfg.kp_sqrt_inv_cov, dtype)
     c2 = jnp.asarray(cfg.cauchy_scale * cfg.cauchy_scale, dtype)
@@ -332,16 +347,18 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
     # pseudo-inverse — the F*6-tangent jacfwd per track cost ~8x the rest
     # of the solve combined; validated bit-tight against the autodiff
     # path in tests/test_analytic_jacobians.py) ----
+    ext = cfg.use_planes and cfg.estimate_planes
+    P = w.plane_mask.shape[0]
     if cfg.use_planes:
-        P = w.plane_mask.shape[0]
         pid = jnp.clip(w.plane_id, 0, P - 1)
         psic = jnp.asarray(cfg.plane_sqrt_inv_cov, dtype)
         obs_cols = w.obs_mask & w.frame_mask[:, None]
 
-        rpl, Jpl = factors.augmented_plane_residual_and_pose_jacobian(
+        out = factors.augmented_plane_residual_and_pose_jacobian(
             w.q, w.p, w.kp, obs_cols, w.plane_normal[pid],
-            w.plane_distance[pid], extr, psic,
-        )  # (T,), (T, F, 6)
+            w.plane_distance[pid], extr, psic, with_plane_jacobian=ext,
+        )  # (T,), (T, F, 6)[, (T, 3)]
+        rpl, Jpl = out[0], out[1]
         mp = plane_track.astype(dtype)
         spl = rpl * rpl
         wpl = jnp.sqrt(_cauchy_w(spl, c2)) * mp
@@ -352,7 +369,34 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
         Hpp = Hpp.at[:, 0:6, :, 0:6].add(Hpl)
         bp = bp.at[:, 0:6].add(jnp.einsum("tgi,t->gi", Jpl_w, rpl_w))
 
-    return Hpp.reshape(F * 15, F * 15), Hpd.reshape(F * 15, T), Hdd, bp.reshape(F * 15), bd, depth_active, cost
+    dims_pose = _active_dims(w).reshape(-1)
+    H = Hpp.reshape(F * 15, F * 15)
+    Hpd = Hpd.reshape(F * 15, T)
+    b = bp.reshape(F * 15)
+    if not ext:
+        return H, Hpd, Hdd, b, bd, depth_active, cost, dims_pose
+
+    # extend the reduced system with each armed plane's 3-dof tangent
+    Jpl3_w = out[2] * wpl[:, None]                      # (T, 3)
+    Epl = jax.nn.one_hot(pid, P, dtype=dtype)           # (T, P)
+    Hplpl = jnp.einsum("ti,tp,tj->pij", Jpl3_w, Epl, Jpl3_w)
+    Hpose_pl = jnp.einsum("tgi,tp,tj->gipj", Jpl_w, Epl, Jpl3_w)  # (F,6,P,3)
+    b_pl = jnp.einsum("ti,tp,t->pi", Jpl3_w, Epl, rpl_w)
+    D = F * 15 + P * 3
+    cross = jnp.zeros((F, 15, P, 3), dtype).at[:, 0:6].set(Hpose_pl)
+    cross = cross.reshape(F * 15, P * 3)
+    Hpp_pl = jnp.einsum("pij,pq->piqj", Hplpl,
+                        jnp.eye(P, dtype=dtype)).reshape(P * 3, P * 3)
+    He = jnp.zeros((D, D), dtype)
+    He = He.at[: F * 15, : F * 15].set(H)
+    He = He.at[: F * 15, F * 15 :].set(cross)
+    He = He.at[F * 15 :, : F * 15].set(cross.T)
+    He = He.at[F * 15 :, F * 15 :].set(Hpp_pl)
+    be = jnp.concatenate([b, b_pl.reshape(-1)])
+    Hpd_e = jnp.concatenate([Hpd, jnp.zeros((P * 3, T), dtype)], axis=0)
+    dims_pl = jnp.repeat((plane_big & w.plane_mask).astype(dtype), 3)
+    dims = jnp.concatenate([dims_pose, dims_pl])
+    return He, Hpd_e, Hdd, be, bd, depth_active, cost, dims
 
 
 # ----------------------------------------------------------------------------
@@ -361,10 +405,11 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
 
 def _lm_step(w: WindowState, extr, cfg, lam):
     F, T = w.kp.shape[0], w.kp.shape[1]
+    P = w.plane_mask.shape[0]
     dtype = w.p.dtype
-    Hpp, Hpd, Hdd, bp, bd, depth_active, cost0 = linearize(w, extr, cfg)
+    Hpp, Hpd, Hdd, bp, bd, depth_active, cost0, m = linearize(w, extr, cfg)
+    D = Hpp.shape[0]
 
-    m = _active_dims(w).reshape(-1)       # (F*15,)
     da = depth_active.astype(dtype)
     Hpp = Hpp * m[:, None] * m[None, :]
     bp = bp * m
@@ -383,12 +428,14 @@ def _lm_step(w: WindowState, extr, cfg, lam):
     Hred = Hpp_d - (Hpd * Hdd_inv[None, :]) @ Hpd.T
     bred = bp - Hpd @ (bd * Hdd_inv)
     # solve Hred dp = -bred
-    jitter = 1e-9 * jnp.trace(Hred) / (F * 15)
-    L = jax.scipy.linalg.cho_factor(Hred + jitter * jnp.eye(F * 15, dtype=dtype))
+    jitter = 1e-9 * jnp.trace(Hred) / D
+    L = jax.scipy.linalg.cho_factor(Hred + jitter * jnp.eye(D, dtype=dtype))
     dp = jax.scipy.linalg.cho_solve(L, -bred) * m
     dd = (-bd - Hpd.T @ dp) * Hdd_inv * da
 
-    w_new = win.retract(w, dp.reshape(F, 15), dd)
+    w_new = win.retract(w, dp[: F * 15].reshape(F, 15), dd)
+    if D > F * 15:
+        w_new = win.retract_planes(w_new, dp[F * 15 :].reshape(P, 3))
     cost1 = evaluate_cost(w_new, extr, cfg)
     return w_new, cost0, cost1
 

@@ -336,6 +336,7 @@ def augmented_plane_distance_residual(
 def augmented_plane_residual_and_pose_jacobian(
     q_frames, p_frames, kps_ft, mask_ft, normals_t, dists_t,
     extr: Extrinsics, sqrt_inv_cov, regularization_weight=1.0,
+    with_plane_jacobian=False,
 ):
     """Batched residual + analytic pose Jacobian of the augmented plane
     factor for ALL track columns at once — the chain rule through the
@@ -433,7 +434,25 @@ def augmented_plane_residual_and_pose_jacobian(
         + a1g.T[:, :, None] * (da1x + db1)
     )
     sic = jnp.asarray(sqrt_inv_cov, dtype)
-    return sic * r, sic * J
+    if not with_plane_jacobian:
+        return sic * r, sic * J
+
+    # Jacobian w.r.t. the plane's own 3-dof tangent (2 on the normal's
+    # S^2 tangent basis + distance) — the piece the reference holds
+    # constant (bundle_adjustor.cpp:120-124) but this solver estimates.
+    # Same implicit chain rule, with the perturbation now entering only
+    # the regularization row (w*dn, -w*dd):
+    #   dr/d(dn) = sic [ (1 - w^2 g.n) x - w s_pl g ]
+    #   dr/d(dd) = sic [ w^2 g.n - 1 ]
+    # where g = (A^T A)^+ n, s_pl = w (n.x - d) is the plane row residual.
+    gn = jnp.einsum("ti,ti->t", g, normals_t)           # (T,)
+    s_pl = w * r
+    dr_dn = (1.0 - w * w * gn)[:, None] * x - (w * s_pl)[:, None] * g
+    dr_dd = w * w * gn - 1.0
+    Tg = jax.vmap(lie.s2_tangential_basis)(normals_t)   # (T, 3, 2)
+    Jn2 = jnp.einsum("ti,tik->tk", dr_dn, Tg)           # (T, 2)
+    Jpl = sic * jnp.concatenate([Jn2, dr_dd[:, None]], axis=-1)  # (T, 3)
+    return sic * r, sic * J, Jpl
 
 
 def plane_cast_point(normal, distance, origin, bearing):

@@ -309,7 +309,7 @@ def min_eig_response(img, kp, half):
 def track_keypoints(
     pyr_prev, pyr_next, kp_prev, kp_init, mask,
     patch=21, iters=10, max_error=0.08, border=20.0, min_eig=1e-6,
-    bf16_resample=False, fb_threshold=0.0,
+    bf16_resample=False, fb_threshold=0.0, coarse_iters=8, fb_iters=6,
 ):
     """Track keypoints from the previous to the next image.
 
@@ -344,8 +344,13 @@ def track_keypoints(
     for lv in range(levels - 1, -1, -1):
         s = 2.0**lv
         kp_l = kp_prev / s
+        # full budget only at the finest level: coarse levels only need
+        # to land the flow inside the next level's convergence basin
+        # (each GN level costs the same — the per-keypoint windows have
+        # a fixed size regardless of pyramid level)
         flow, err = _track_level(
-            pyr_prev[lv], pyr_next[lv], kp_l, flow, iters, half, dtype,
+            pyr_prev[lv], pyr_next[lv], kp_l, flow,
+            iters if lv == 0 else coarse_iters, half, dtype,
             bf16=bf16_resample,
         )
         if lv > 0:
@@ -374,11 +379,13 @@ def track_keypoints(
     if fb_threshold and fb_threshold > 0.0:
         flow_f = kp_n - kp_prev
         flow_b = -flow_f / scale
+        # the backward pass starts at the reversed converged flow, so a
+        # smaller iteration budget suffices for the consistency check
         for lv in range(levels - 1, -1, -1):
             s = 2.0**lv
             flow_b, _ = _track_level(
-                pyr_next[lv], pyr_prev[lv], kp_n / s, flow_b, iters, half,
-                dtype, bf16=bf16_resample,
+                pyr_next[lv], pyr_prev[lv], kp_n / s, flow_b, fb_iters,
+                half, dtype, bf16=bf16_resample,
             )
             if lv > 0:
                 flow_b = flow_b * 2.0

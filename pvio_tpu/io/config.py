@@ -60,6 +60,12 @@ class Config:
     # edge-slide / repeated-texture outliers that satisfy the epipolar
     # constraint (measured: removes the 5-45 px outlier tail entirely).
     feature_tracker_fb_threshold: float = 1.0
+    # run detection only when at least this many keypoint slots are free
+    # (when the budget is nearly full, Poisson-disk suppression rejects
+    # essentially every candidate anyway — skipping the detection work on
+    # those frames is behavior-neutral and saves ~2 ms/frame; 0 = detect
+    # every frame like the reference)
+    feature_tracker_detect_min_free: int = 8
 
     # --- robust loss (solver) ---
     # Cauchy scale in whitened-residual (keypoint-sigma) units. The
@@ -94,6 +100,11 @@ class Config:
     plane_min_track_life: int = 10         # plane_extractor.cpp:47 (life >= 10)
     plane_escape_min_life: int = 10        # bundle_adjustor.cpp:257 (life > 10)
     plane_escape_distance: float = 0.1     # bundle_adjustor.cpp:263 (0.1 m off-plane)
+    # estimate plane normal/distance inside the BA solve (3-dof tangent
+    # per armed plane in the reduced camera system). The reference holds
+    # them constant and hard-refits on the host between solves; joint
+    # estimation removes that refit-vs-solve tug-of-war.
+    plane_estimate_in_solver: bool = True
 
     # --- capacities of the fixed-shape solver arrays (TPU build only) ---
     window_frame_capacity: int = 0    # 0 => sliding_window_size + 1

@@ -187,6 +187,21 @@ def retract(w: WindowState, d_frames, d_depth):
     )
 
 
+def retract_planes(w: WindowState, d_planes):
+    """Apply a plane-parameter tangent step: d_planes (P, 3) = (2-dof
+    normal update on the S^2 tangent basis, distance update). Used when
+    the solver estimates plane parameters jointly (BAConfig.
+    estimate_planes) — the reference holds them constant during BA
+    (bundle_adjustor.cpp:120-124)."""
+    Tg = jax.vmap(lie.s2_tangential_basis)(w.plane_normal)  # (P, 3, 2)
+    n = w.plane_normal + jnp.einsum("pik,pk->pi", Tg, d_planes[:, :2])
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return w._replace(
+        plane_normal=n,
+        plane_distance=w.plane_distance + d_planes[:, 2],
+    )
+
+
 def landmark_points(w: WindowState, extr: Extrinsics):
     """World-space landmark for every track (track.cpp:137-147):
     x_world = T_world_body(ref) * T_body_cam * ([z_ref, 1] / inv_depth).

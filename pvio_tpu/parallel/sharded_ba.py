@@ -60,17 +60,22 @@ def _lm_step_sharded(w: WindowState, lam, extr, cfg, tp_axis):
         c_frame = ba_mod.evaluate_cost(w0, extr, cfg, tp_axis=tp_axis)
         return c_frame + jax.lax.psum(c_local - c_frame, tp_axis)
 
-    Hpp, Hpd, Hdd, bp, bd, depth_active, cost_local = ba_mod.linearize(
+    Hpp, Hpd, Hdd, bp, bd, depth_active, cost_local, m = ba_mod.linearize(
         w, extr, cfg, tp_axis=tp_axis)
     w0 = w._replace(track_mask=jnp.zeros_like(w.track_mask))
-    Hpp_f, _, _, bp_f, _, _, cost_f = ba_mod.linearize(
+    Hpp_f, _, _, bp_f, _, _, cost_f, _ = ba_mod.linearize(
         w0, extr, cfg, tp_axis=tp_axis)
     # global frame-state system: frame factors once + track parts reduced
+    # (the in-solve plane-tangent block rides this same reduction: the
+    # tracks-masked linearize contributes zero there, and `m` — which
+    # gates the plane dims on the psum'd member counts — is identical on
+    # every shard by construction)
     Hpp_g = Hpp_f + jax.lax.psum(Hpp - Hpp_f, tp_axis)
     bp_g = bp_f + jax.lax.psum(bp - bp_f, tp_axis)
     cost0 = cost_f + jax.lax.psum(cost_local - cost_f, tp_axis)
 
-    m = ba_mod._active_dims(w).reshape(-1)
+    D = Hpp.shape[0]
+    P = w.plane_mask.shape[0]
     da = depth_active.astype(dtype)
     Hpp_g = Hpp_g * m[:, None] * m[None, :]
     bp_g = bp_g * m
@@ -85,14 +90,16 @@ def _lm_step_sharded(w: WindowState, lam, extr, cfg, tp_axis):
     # reduced camera system: local depth-elimination blocks psum'd over tp
     Hred = Hpp_d - jax.lax.psum((Hpd * Hdd_inv[None, :]) @ Hpd.T, tp_axis)
     bred = bp_g - jax.lax.psum(Hpd @ (bd * Hdd_inv), tp_axis)
-    jitter = 1e-9 * jnp.trace(Hred) / (F * 15)
+    jitter = 1e-9 * jnp.trace(Hred) / D
     L = jax.scipy.linalg.cho_factor(
-        Hred + jitter * jnp.eye(F * 15, dtype=dtype)
+        Hred + jitter * jnp.eye(D, dtype=dtype)
     )
     dp_step = jax.scipy.linalg.cho_solve(L, -bred) * m
     dd_step = (-bd - Hpd.T @ dp_step) * Hdd_inv * da
 
-    w_new = win.retract(w, dp_step.reshape(F, 15), dd_step)
+    w_new = win.retract(w, dp_step[: F * 15].reshape(F, 15), dd_step)
+    if D > F * 15:
+        w_new = win.retract_planes(w_new, dp_step[F * 15 :].reshape(P, 3))
     cost1 = total_cost(w_new)
     return w_new, cost0, cost1
 

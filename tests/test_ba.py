@@ -53,7 +53,7 @@ def test_gradient_matches_fd(scene, rng):
     w, extr, info = build_window(scene, [0, 4, 8, 12, 16], F_cap=6, T_cap=48)
     w = perturb_window(w, rng)
     cfg = make_cfg()
-    Hpp, Hpd, Hdd, bp, bd, depth_active, cost = ba.linearize(w, extr, cfg)
+    Hpp, Hpd, Hdd, bp, bd, depth_active, cost, dims = ba.linearize(w, extr, cfg)
     F = w.q.shape[0]
 
     c0 = float(ba.evaluate_cost(w, extr, cfg))
