@@ -156,10 +156,10 @@ def main():
     dq_id = jnp.asarray([1.0, 0, 0, 0], dtype)
     key0 = jnp.asarray([648, 1], jnp.uint32)
 
-    def one_frame(pyr, kp, mask, wst, stir, i):
+    def one_frame(pyr, resp, kp, mask, wst, stir, i):
         img = images_d[i % 8]
-        pyr2, kp2, mask2, status, det = kern.frame_step(
-            pyr, img, kp, mask, dq_id, key0 + jnp.uint32(i))
+        pyr2, resp2, kp2, mask2, status, det = kern.frame_step(
+            pyr, resp, img, kp, mask, dq_id, key0 + jnp.uint32(i))
         tp, wp, ap2, mp = pnp_imu_d
         z = z_ring_d[i % 8] + stir
         pm = m_ring_d[i % 8]
@@ -170,14 +170,14 @@ def main():
         wst = wst._replace(q=wst.q.at[tail_idx].set(q1),
                            p=wst.p.at[tail_idx].set(p1))
         stir = stir + 1e-30 * (kp2[0, 0] + p1[0])
-        return pyr2, kp2, mask2, wst, stir
+        return pyr2, resp2, kp2, mask2, wst, stir
 
     def group(carry, g):
-        pyr, kp, mask, wst, stir = carry
+        pyr, resp, kp, mask, wst, stir = carry
         i0 = g * KF_EVERY
         for i in range(KF_EVERY):
-            pyr, kp, mask, wst, stir = one_frame(pyr, kp, mask, wst, stir,
-                                                 i0 + i)
+            pyr, resp, kp, mask, wst, stir = one_frame(
+                pyr, resp, kp, mask, wst, stir, i0 + i)
         # keyframe: fused BA step (planes ON) + fused marginalization
         wst2, info, xw, _tri = kern.ba_step(wst, *imu_ops_d, track_life_d, False)
         wm = kern.marg_step(wst2, *imu_ops_d)
@@ -189,12 +189,12 @@ def main():
             info["final_cost"] + wm.p[0, 0] + xw[0, 0])
         wst = jax.tree.map(lambda a, b: a, w_d, wst)  # reset to base
         wst = wst._replace(p=wst.p + stir)
-        return (pyr, kp, mask, wst, stir), info["final_cost"]
+        return (pyr, resp, kp, mask, wst, stir), info["final_cost"]
 
     @jax.jit
     def pipeline_chain(w0, stir0):
-        pyr0, kp0, mask0 = kern.first_frame_step(images_d[0])
-        carry = (pyr0, kp0, mask0, w0, stir0)
+        pyr0, resp0, kp0, mask0 = kern.first_frame_step(images_d[0])
+        carry = (pyr0, resp0, kp0, mask0, w0, stir0)
         carry, costs = jax.lax.scan(group, carry, jnp.arange(groups))
         return costs, carry[4]
 

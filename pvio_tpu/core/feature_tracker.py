@@ -42,6 +42,7 @@ class FeatureTracker:
         self.k = kernels
         self.frames: list[RawFrame] = []
         self.prev_pyramid = None
+        self.prev_response = None  # device-resident corner-response map
         # device-resident merged keypoint state from the last frame_step —
         # fed straight back next frame, so keypoints never re-upload
         self._kp_dev = None
@@ -99,7 +100,9 @@ class FeatureTracker:
 
         if not self.frames:
             # fused preprocess + detect: one device dispatch
-            pyr, kp_dev, mask_dev = self.k.first_frame_step(jnp.asarray(img))
+            pyr, resp, kp_dev, mask_dev = self.k.first_frame_step(
+                jnp.asarray(img))
+            self.prev_response = resp
             kp, mask = [np.array(a) for a in jax.device_get((kp_dev, mask_dev))]
             self._kp_dev, self._mask_dev = kp_dev, mask_dev
             ids = -np.ones(Kmax, np.int64)
@@ -134,10 +137,11 @@ class FeatureTracker:
             n_prev_alive = int(prev.kp_mask.sum())
             step = (self.k.frame_step_nodetect
                     if Kmax - n_prev_alive < min_free else self.k.frame_step)
-            pyr, kp_dev, mask_dev, status, det_mask = step(
-                self.prev_pyramid, img_d, self._kp_dev, self._mask_dev,
-                dq_d, key_d,
+            pyr, resp, kp_dev, mask_dev, status, det_mask = step(
+                self.prev_pyramid, self.prev_response, img_d,
+                self._kp_dev, self._mask_dev, dq_d, key_d,
             )
+            self.prev_response = resp
             self._kp_dev, self._mask_dev = kp_dev, mask_dev
             # ONE batched device->host fetch for everything the host
             # bookkeeping needs (per-array pulls each cost a round trip)

@@ -159,7 +159,14 @@ class DeviceKernels:
         # test for the CPU fallback rather than for "tpu")
         use_pallas = jax.default_backend() != "cpu"
 
-        def detect(img0, existing, existing_mask):
+        def response_of(img0):
+            if use_pallas:
+                from pvio_tpu.ops.stencil import shi_tomasi_response_tpu
+
+                return shi_tomasi_response_tpu(img0)
+            return detect_mod.shi_tomasi_response(img0)
+
+        def detect(img0, existing, existing_mask, response=None):
             return detect_mod.detect_keypoints(
                 img0,
                 max_keypoints=cfg.feature_tracker_max_keypoint_detection,
@@ -168,9 +175,10 @@ class DeviceKernels:
                 existing_mask=existing_mask,
                 border=20,
                 use_pallas_response=use_pallas,
+                response=response,
             )
 
-        self.detect = jax.jit(detect)
+        self.detect = jax.jit(lambda img0, e, em: detect(img0, e, em))
 
         def fransac(key, kp1, kp2, mask):
             F, inl, count = ransac_mod.find_fundamental(key, kp1, kp2, mask, threshold=1.0)
@@ -186,8 +194,8 @@ class DeviceKernels:
             out = camera.apply_k(b2[..., :2] / zs, K)
             return jnp.where(mask[:, None], out, kp)
 
-        def frame_step(pyr_prev, img_next, kp_prev, mask_prev, dq_cam,
-                       key_data, with_detect=True):
+        def frame_step(pyr_prev, resp_prev, img_next, kp_prev, mask_prev,
+                       dq_cam, key_data, with_detect=True):
             """Fused per-frame frontend: preprocess + gyro-predicted
             initial flow + pyramidal KLT + F-RANSAC gate + detection +
             detection merge, one device dispatch (the reference does all
@@ -211,6 +219,10 @@ class DeviceKernels:
             straight back as next frame's device-resident input."""
             key = jax.random.wrap_key_data(key_data, impl="threefry2x32")
             pyr_next = preprocess(img_next)
+            # one corner-response pass serves the KLT trackability gate
+            # AND detection (the patch-sampling gate variant cost ~2.5 ms
+            # of vmapped dynamic-slice gathers per frame)
+            resp_next = response_of(pyr_next[0])
             if cfg.feature_tracker_predict_keypoints:
                 guess = predict_kp_(kp_prev, mask_prev, dq_cam)
             else:
@@ -218,6 +230,7 @@ class DeviceKernels:
             kp_new, status = klt_mod.track_keypoints(
                 list(pyr_prev), list(pyr_next), kp_prev, guess, mask_prev,
                 border=20.0, fb_threshold=fb_px,
+                resp_prev=resp_prev, resp_next=resp_next,
             )
             # fundamental-matrix outlier gate (opencv_image.cpp:121-129):
             # applied only when >=8 tracked survivors and >=8 inliers
@@ -229,9 +242,10 @@ class DeviceKernels:
             Kmax = kp_new.shape[0]
             if not with_detect:
                 kp_merged = jnp.where(status[:, None], kp_new, 0.0)
-                return (pyr_next, kp_merged, status, status,
+                return (pyr_next, resp_next, kp_merged, status, status,
                         jnp.zeros(Kmax, bool))
-            det_kp, det_mask = detect(pyr_next[0], kp_new, status)
+            det_kp, det_mask = detect(pyr_next[0], kp_new, status,
+                                      response=resp_next)
             # in-graph merge (mirrors the host id bookkeeping rule)
             n_fill = jnp.minimum(jnp.sum(det_mask), Kmax - jnp.sum(status))
             free_idx = jnp.nonzero(~status, size=Kmax, fill_value=Kmax)[0]
@@ -243,7 +257,7 @@ class DeviceKernels:
             kp_merged = kp_merged.at[fill_rows].set(
                 det_kp[det_idx], mode="drop")
             mask_merged = status.at[fill_rows].set(True, mode="drop")
-            return pyr_next, kp_merged, mask_merged, status, det_mask
+            return pyr_next, resp_next, kp_merged, mask_merged, status, det_mask
 
         self.frame_step = jax.jit(partial(frame_step, with_detect=True))
         self.frame_step_nodetect = jax.jit(
@@ -252,10 +266,12 @@ class DeviceKernels:
         def first_frame_step(img):
             """Fused first-frame frontend: preprocess + detection."""
             pyr = preprocess(img)
+            resp = response_of(pyr[0])
             det_kp, det_mask = detect(
-                pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros(1, bool)
+                pyr[0], jnp.zeros((1, 2), dtype), jnp.zeros(1, bool),
+                response=resp,
             )
-            return pyr, det_kp, det_mask
+            return pyr, resp, det_kp, det_mask
 
         self.first_frame_step = jax.jit(first_frame_step)
 

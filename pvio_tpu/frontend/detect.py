@@ -50,6 +50,7 @@ def detect_keypoints(
     min_response=1e-8,
     num_candidates=1024,
     use_pallas_response=False,
+    response=None,
 ):
     """Detect up to `max_keypoints` corners with Poisson-disk spacing.
 
@@ -59,7 +60,9 @@ def detect_keypoints(
     """
     H, W = img.shape
     dtype = img.dtype
-    if use_pallas_response:
+    if response is not None:
+        resp = response          # caller-precomputed (shared with the KLT gate)
+    elif use_pallas_response:
         # fused single-pass TPU kernel (ops/stencil.py): exact on the
         # interior; its 2 px circular-shift halo is inside the >= 20 px
         # detection border cull

@@ -310,6 +310,7 @@ def track_keypoints(
     pyr_prev, pyr_next, kp_prev, kp_init, mask,
     patch=21, iters=10, max_error=0.08, border=20.0, min_eig=1e-6,
     bf16_resample=False, fb_threshold=0.0, coarse_iters=8, fb_iters=6,
+    resp_prev=None, resp_next=None,
 ):
     """Track keypoints from the previous to the next image.
 
@@ -370,9 +371,18 @@ def track_keypoints(
     # textureless destination (template-gradient iterations), with a small
     # residual whenever the source patch is low-contrast
     finite = jnp.all(jnp.isfinite(kp_next), axis=-1)
-    lam_p = min_eig_response(pyr_prev[0], kp_prev, half)
     kp_n = jnp.where(finite[:, None], kp_next, kp_prev)
-    lam_n = min_eig_response(pyr_next[0], kp_n, half)
+    # trackability gate: when the caller provides precomputed corner
+    # response maps (the fused Shi-Tomasi pass detection needs anyway),
+    # sample them at the endpoints — the per-keypoint patch variant
+    # costs 8 vmapped dynamic-slice gathers (~2.5 ms/frame on TPU) for
+    # the same flat-or-1D-texture verdict
+    if resp_prev is not None and resp_next is not None:
+        lam_p = _bilinear(resp_prev, kp_prev)
+        lam_n = _bilinear(resp_next, kp_n)
+    else:
+        lam_p = min_eig_response(pyr_prev[0], kp_prev, half)
+        lam_n = min_eig_response(pyr_next[0], kp_n, half)
     status = (mask & inb & (err < max_error) & finite
               & (lam_p > min_eig) & (lam_n > min_eig))
 

@@ -92,7 +92,7 @@ def main():
             return und.apply(u8).astype(np.float64) / 255.0
 
         img0 = get_img(0)
-        pyr0, kp_dev, mask_dev = kern.first_frame_step(jnp.asarray(img0))
+        pyr0, resp0, kp_dev, mask_dev = kern.first_frame_step(jnp.asarray(img0))
         kp0 = np.array(kp_dev)
         m0 = np.array(mask_dev)
         pyr = pyr0
