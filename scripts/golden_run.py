@@ -33,6 +33,11 @@ def main():
                     help="override Config.cauchy_scale")
     ap.add_argument("--fb", type=float, default=None,
                     help="override forward-backward KLT gate (px, 0=off)")
+    ap.add_argument("--pixel-noise", type=float, default=0.0,
+                    help="additive Gaussian image noise sigma in 8-bit counts "
+                         "(hard mode: degrades KLT so structural priors matter)")
+    ap.add_argument("--max-kp", type=int, default=None,
+                    help="override keypoint detection budget (hard mode)")
     ap.add_argument("--save-frames", default=None,
                     help="directory to dump a few rendered+undistorted PNGs")
     args = ap.parse_args()
@@ -62,6 +67,8 @@ def main():
         cfg.cauchy_scale = args.cauchy
     if args.fb is not None:
         cfg.feature_tracker_fb_threshold = args.fb
+    if args.max_kp is not None:
+        cfg.feature_tracker_max_keypoint_detection = args.max_kp
 
     scene = synthetic.make_scene(
         duration=args.duration, fps=args.fps, imu_rate=200.0,
@@ -74,12 +81,17 @@ def main():
     q_bc = np.asarray(cfg.q_bc)
     p_bc = np.asarray(cfg.p_bc)
 
+    noise_rng = np.random.default_rng(args.seed + 1)
+
     def make_image(fi):
         img = synthetic.render_frame_room(
             scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
             distortion=cfg.camera_distortion,
             distortion_model=cfg.camera_distortion_model)
-        u8 = (img * 255.0 + 0.5).astype(np.uint8)
+        u8f = img * 255.0
+        if args.pixel_noise > 0:
+            u8f = u8f + noise_rng.normal(size=u8f.shape) * args.pixel_noise
+        u8 = np.clip(u8f + 0.5, 0, 255).astype(np.uint8)
         return und.apply(u8)
 
     if args.save_frames:

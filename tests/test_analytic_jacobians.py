@@ -111,3 +111,47 @@ def test_validator_on_reprojection(setup):
 
     rep = validate_factor(residual_fn, 13)
     assert rep.passed, str(rep)
+
+
+def test_dependency_check_nan_tagging(setup, rng):
+    """The functional counterpart of the reference's tagged-NaN
+    uninitialized-entry detection (cost_function_validator.h:152-159):
+    a hand-written Jacobian that silently drops a dependency must be
+    flagged, and the real analytic Jacobians must come back clean."""
+    from pvio_tpu.estimation.validator import check_dependencies
+
+    w, extr = setup
+    # identity whitener: the dependency structure under test is the raw
+    # factor's, not the whitener's cross-coupling
+    delta = jax.tree.map(lambda a: a[1], w.delta)._replace(
+        sqrt_inv_cov=jnp.eye(15, dtype=jnp.float64))
+    args_i = (w.q[0], w.p[0], w.v[0], w.bg[0], w.ba[0])
+    args_j = (w.q[1], w.p[1], w.v[1], w.bg[1], w.ba[1])
+
+    def residual_fn(d30):
+        di, dj = d30[:15], d30[15:]
+
+        def ret(args, d):
+            q, p, v, bg, ba = args
+            return (lie.quat_mul(q, lie.expmap(d[0:3])), p + d[3:6],
+                    v + d[6:9], bg + d[9:12], ba + d[12:15])
+
+        return factors.preintegration_residual(
+            *ret(args_i, di), *ret(args_j, dj),
+            delta, w.bg_lin[1], w.ba_lin[1], extr,
+        )
+
+    _, Ji, Jj = factors.preintegration_residual_and_jacobians(
+        *args_i, *args_j, delta, w.bg_lin[1], w.ba_lin[1], extr
+    )
+    J = np.concatenate([np.asarray(Ji), np.asarray(Jj)], axis=1)
+    assert check_dependencies(residual_fn, J, 30) == []
+
+    # break the Jacobian: claim the rotation residual ignores frame i's
+    # gyro-bias block (a classic forgotten first-order bias-correction
+    # term, preintegration_error_cost.h:79-83)
+    J_broken = J.copy()
+    J_broken[0:3, 9:12] = 0.0
+    suspects = check_dependencies(residual_fn, J_broken, 30)
+    flagged = {(i, k) for (i, k) in suspects}
+    assert any(i < 3 and 9 <= k < 12 for (i, k) in flagged), suspects
