@@ -231,7 +231,13 @@ def _track_level(img_prev, img_next, kp_prev, guess, iters, half, dtype,
 
     g1 = jax.lax.fori_loop(0, iters, step, guess)
     e, ok = residual(g1)
-    err = jnp.mean(jnp.abs(e), axis=(1, 2))
+    # error RELATIVE to template RMS contrast: an absolute photometric
+    # threshold conflates image noise with mismatch (CLAHE amplifies
+    # sensor noise to ~the 0.08 absolute gate, which then culled every
+    # track on noisy imagery); residual >> template contrast is the
+    # actual catastrophic-mismatch signal
+    rms = jnp.sqrt(tt) / jnp.asarray(float(P), dtype)
+    err = jnp.mean(jnp.abs(e), axis=(1, 2)) / jnp.maximum(rms, 1e-6)
     err = jnp.where(ok, err, jnp.inf)
     return g1, err
 
@@ -277,7 +283,8 @@ def _track_level_slices(img_prev, img_next, kp_prev, guess, iters, half, dtype):
             return jnp.clip(gflow - jnp.stack([dx, dy]), -fcap, fcap)
 
         g1 = jax.lax.fori_loop(0, iters, step, g)
-        err = jnp.mean(jnp.abs(residual(g1)))
+        rms = jnp.sqrt(tt) / jnp.asarray(float(2 * half + 1), dtype)
+        err = jnp.mean(jnp.abs(residual(g1))) / jnp.maximum(rms, 1e-6)
         return g1, err
 
     return jax.vmap(one)(kp_prev, guess)
@@ -308,7 +315,7 @@ def min_eig_response(img, kp, half):
 
 def track_keypoints(
     pyr_prev, pyr_next, kp_prev, kp_init, mask,
-    patch=21, iters=10, max_error=0.08, border=20.0, min_eig=1e-6,
+    patch=21, iters=10, max_error=2.5, border=20.0, min_eig=1e-6,
     bf16_resample=False, fb_threshold=0.0, coarse_iters=8, fb_iters=6,
     resp_prev=None, resp_next=None,
 ):
@@ -320,7 +327,10 @@ def track_keypoints(
     mask (K,) input validity.
 
     Returns (kp_next (K, 2), status (K,) bool). Status clears on
-    divergence (residual > max_error), leaving the border margin
+    catastrophic mismatch (residual > max_error x template RMS contrast
+    — the reference's cv::calcOpticalFlowPyrLK does no photometric cull
+    at all, opencv_image.cpp:88-136; outlier rejection is the job of the
+    min_eig / forward-backward / F-RANSAC gates), leaving the border margin
     (opencv_image.cpp:110-120), or an untrackable (flat/1-D) source patch
     (min_eig, the cv::calcOpticalFlowPyrLK minEigThreshold role; measured
     margins: textured corners >= 4e-5 after CLAHE, uniform frames < 1e-16).

@@ -3,8 +3,16 @@
 The reference has NO persistence — state lives only in RAM and "resume"
 means re-initializing from scratch (SURVEY §5). This module adds window
 snapshotting as a framework feature: the solver window (device pytree or
-host mirror) round-trips through a single .npz file, enabling
-warm-resume, failure post-mortems, and regression goldens.
+host mirror) round-trips through a single .npz file.
+
+SCOPE (be precise about what "resume" means here): the snapshot covers
+the SOLVER WINDOW only — frame states, track columns, observation grid,
+planes, marginalization prior. It does NOT capture the feature tracker's
+raw frame window, device-resident keypoint/pyramid/response state, plane
+SectorAreas, or host id counters, so a restored window supports solver
+post-mortems, regression goldens, and warm-starting a NEW tracking
+session from a known state — it cannot splice into a live sequence
+mid-stream and continue tracking as if nothing happened.
 """
 
 import numpy as np

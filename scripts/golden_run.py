@@ -38,6 +38,9 @@ def main():
                          "(hard mode: degrades KLT so structural priors matter)")
     ap.add_argument("--max-kp", type=int, default=None,
                     help="override keypoint detection budget (hard mode)")
+    ap.add_argument("--kp-sigma", type=float, default=None,
+                    help="declared keypoint noise sigma in px (reference "
+                         "camera.noise config) — raise for noisy imagery")
     ap.add_argument("--save-frames", default=None,
                     help="directory to dump a few rendered+undistorted PNGs")
     args = ap.parse_args()
@@ -69,6 +72,9 @@ def main():
         cfg.feature_tracker_fb_threshold = args.fb
     if args.max_kp is not None:
         cfg.feature_tracker_max_keypoint_detection = args.max_kp
+    if args.kp_sigma is not None:
+        import numpy as _np
+        cfg.camera_noise_cov = _np.eye(2) * args.kp_sigma ** 2
 
     scene = synthetic.make_scene(
         duration=args.duration, fps=args.fps, imu_rate=200.0,
