@@ -38,6 +38,9 @@ def main():
                          "(hard mode: degrades KLT so structural priors matter)")
     ap.add_argument("--max-kp", type=int, default=None,
                     help="override keypoint detection budget (hard mode)")
+    ap.add_argument("--noise-after", type=float, default=0.0,
+                    help="apply --pixel-noise only after this time (s): "
+                         "clean initialization, then degraded tracking")
     ap.add_argument("--kp-sigma", type=float, default=None,
                     help="declared keypoint noise sigma in px (reference "
                          "camera.noise config) — raise for noisy imagery")
@@ -95,7 +98,7 @@ def main():
             distortion=cfg.camera_distortion,
             distortion_model=cfg.camera_distortion_model)
         u8f = img * 255.0
-        if args.pixel_noise > 0:
+        if args.pixel_noise > 0 and scene.frame_t[fi] >= args.noise_after:
             u8f = u8f + noise_rng.normal(size=u8f.shape) * args.pixel_noise
         u8 = np.clip(u8f + 0.5, 0, 255).astype(np.uint8)
         return und.apply(u8)

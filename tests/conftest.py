@@ -31,3 +31,23 @@ assert jax.device_count() == 8, jax.devices()
 @pytest.fixture
 def rng():
     return np.random.default_rng(648)  # reference's default RANSAC seed (config.cpp:91-93)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Fence for an XLA CPU-compiler segfault under accumulated state.
+
+    A full single-process suite run reproducibly SIGSEGVs inside
+    jax backend_compile_and_load (XLA CPU) after ~90 tests' worth of
+    compiled executables — not an OOM (125 GB box), and every module
+    passes in a fresh process. Dropping the compilation caches between
+    modules keeps the compiler's resident state small enough to avoid
+    the crash, at the cost of some recompilation. Engine-level caching
+    (DeviceKernels) is unaffected: its jitted callables simply recompile
+    on first use in the next module.
+    """
+    yield
+    jax.clear_caches()
+    import gc
+
+    gc.collect()
