@@ -79,13 +79,13 @@ def test_golden_run_euroc_shaped():
     traj = vio.get_trajectory()
     ate, scale, n, ate_q0 = _ate([(t, q, p) for (t, q, p) in traj], scene)
     assert n >= 180, n
-    # Regression floor, not the target: the early trajectory is accurate
-    # (first-quarter ATE ~0.12 m) but slow scale/tilt drift accumulates
-    # over long runs (PERF_NOTES round-2 "remaining accuracy issue");
-    # tighten these bounds as that is fixed.
-    assert ate_q0 < 0.20, f"first-quarter ATE {ate_q0} m"
-    assert abs(scale - 1.0) < 0.5, f"scale {scale}"
-    assert ate < 1.0, f"ATE {ate} m"
+    # Round-3 regression bounds (measured: ATE 0.028 m, scale 1.005,
+    # first-quarter 0.009 m after the merged-IMU-span truncation fix —
+    # see PERF_NOTES round 3; bounds carry ~3x margin for render/KLT
+    # noise across seeds).
+    assert ate_q0 < 0.05, f"first-quarter ATE {ate_q0} m"
+    assert abs(scale - 1.0) < 0.05, f"scale {scale}"
+    assert ate < 0.10, f"ATE {ate} m"
 
 
 @pytest.mark.slow
@@ -105,7 +105,64 @@ def test_golden_run_tumvi_shaped():
     traj = vio.get_trajectory()
     ate, scale, n, ate_q0 = _ate([(t, q, p) for (t, q, p) in traj], scene)
     assert n >= 120, n
-    # first quarter is ~1 cm — the drift note on the EuRoC test applies
-    assert ate_q0 < 0.05, f"first-quarter ATE {ate_q0} m"
-    assert abs(scale - 1.0) < 0.15, f"scale {scale}"
-    assert ate < 0.45, f"ATE {ate} m"
+    # Round-3 regression bounds (measured: ATE 0.030 m, scale 0.995,
+    # first-quarter 0.011 m) with ~3x margin.
+    assert ate_q0 < 0.04, f"first-quarter ATE {ate_q0} m"
+    assert abs(scale - 1.0) < 0.05, f"scale {scale}"
+    assert ate < 0.10, f"ATE {ate} m"
+
+
+@pytest.mark.slow
+def test_golden_run_blackout_reinit_production_res():
+    """BASELINE config-3 behavior AT PRODUCTION RESOLUTION: occlude the
+    camera mid-sequence on textured renders through the real lens model
+    (not the 320x240 blob tier of test_pipeline) — the frontend must
+    lose tracking, fall back to a fresh Initializer
+    (frontend_worker.cpp:71-77), re-initialize, and resume with a sane
+    post-recovery trajectory."""
+    cfg = Config.from_yaml("config/euroc.yaml")
+    cfg.dtype = "float64"
+    cfg.initializer_max_scale = 5.0
+    scene = synthetic.make_scene(duration=7.0, fps=20.0, imu_rate=200.0,
+                                 n_points=8, seed=648)
+    und = ImageUndistorter(cfg.K, cfg.camera_distortion,
+                           cfg.camera_distortion_model, cfg.image_size)
+    q_bc, p_bc = np.asarray(cfg.q_bc), np.asarray(cfg.p_bc)
+    vio = PVIO(cfg)
+    blackout = range(55, 62)      # ~0.35 s occlusion after init settles
+    W, H = cfg.image_size
+    fi = 0
+    post_recovery = []
+    for k in range(len(scene.imu_t)):
+        t = scene.imu_t[k]
+        vio.track_gyroscope(t, *scene.gyro[k])
+        vio.track_accelerometer(t, *scene.accel[k])
+        while fi < len(scene.frame_t) and scene.frame_t[fi] <= t:
+            if fi in blackout:
+                img = np.zeros((H, W), np.uint8)
+            else:
+                rimg = synthetic.render_frame_room(
+                    scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
+                    distortion=cfg.camera_distortion,
+                    distortion_model=cfg.camera_distortion_model)
+                img = und.apply((rimg * 255.0 + 0.5).astype(np.uint8))
+            vio.track_camera(scene.frame_t[fi], img)
+            if fi > blackout.stop + 40 and vio.initialized:
+                st = vio.get_latest_state()
+                if st is not None:
+                    post_recovery.append((scene.frame_t[fi], st.p.copy()))
+            fi += 1
+    assert vio.core.frontend.n_reinits >= 1, "blackout must force re-init"
+    assert vio.initialized, "must re-initialize after the blackout"
+    assert len(post_recovery) >= 20, len(post_recovery)
+    # post-recovery trajectory must track ground truth (fresh gauge:
+    # rigid-align the recovered segment only)
+    t2idx = {round(tt, 6): i for i, tt in enumerate(scene.frame_t)}
+    est = np.array([p for (tt, p) in post_recovery
+                    if t2idx.get(round(tt, 6)) is not None])
+    gt = np.array([scene.p_wb[t2idx[round(tt, 6)]] for (tt, p) in post_recovery
+                   if t2idx.get(round(tt, 6)) is not None])
+    ate = float(wahba.ate_rmse(jnp.asarray(est), jnp.asarray(gt),
+                               with_scale=False))
+    assert ate < 0.10, f"post-recovery ATE {ate} m"
+    assert np.isfinite(est).all()
