@@ -59,9 +59,19 @@ class BAConfig(NamedTuple):
     # per armed plane appended to the reduced camera system). The
     # reference holds plane parameters constant during BA and hard-refits
     # them on the host between solves (bundle_adjustor.cpp:120-124,
-    # plane.cpp:64-114); estimating them jointly removes the
-    # refit-vs-solve tug-of-war entirely.
+    # plane.cpp:64-114). CRITICAL: the joint pose+plane system has a
+    # near-null drift mode (translate the window along the normal while
+    # the plane distance follows — every plane residual is unchanged),
+    # and the plane's whole value is being the WORLD ANCHOR that
+    # suppresses exactly that drift; unconstrained joint estimation
+    # measured 6-11x WORSE pose error than a fixed plane. The anchor
+    # sigmas below therefore put a stiff stay-here prior on the plane
+    # tangent each solve: the plane behaves as a slowly-varying state —
+    # per-solve corrections at the anchor scale, fixed-plane drift
+    # suppression along the null mode.
     estimate_planes: bool = True
+    plane_anchor_sigma_n: float = 0.002   # rad (~0.1 deg) per solve
+    plane_anchor_sigma_d: float = 0.001   # meters per solve
     cauchy_scale: float = 1.0  # robust-loss scale in whitened units (see Config.cauchy_scale)
     fused_preint: bool = False   # struct-of-arrays fused preint factor bank
     lm_lambda_init: float = 1e-4
@@ -385,6 +395,15 @@ def linearize(w: WindowState, extr: Extrinsics, cfg: BAConfig, tp_axis=None):
     D = F * 15 + P * 3
     cross = jnp.zeros((F, 15, P, 3), dtype).at[:, 0:6].set(Hpose_pl)
     cross = cross.reshape(F * 15, P * 3)
+    # stay-here anchor on the plane tangent (see BAConfig docstring):
+    # pure information, zero gradient (linearization point = current
+    # parameters), so it bounds the per-solve correction without biasing
+    anchor = jnp.asarray([
+        1.0 / cfg.plane_anchor_sigma_n ** 2,
+        1.0 / cfg.plane_anchor_sigma_n ** 2,
+        1.0 / cfg.plane_anchor_sigma_d ** 2,
+    ], dtype)
+    Hplpl = Hplpl + jnp.diag(anchor)[None, :, :]
     Hpp_pl = jnp.einsum("pij,pq->piqj", Hplpl,
                         jnp.eye(P, dtype=dtype)).reshape(P * 3, P * 3)
     He = jnp.zeros((D, D), dtype)
