@@ -22,6 +22,13 @@ jit): the serving environment caches whole dispatches by input hash, so
 per-call host timing measures RTT, not compute. Every kernel is
 fixed-shape / fixed-iteration, so timing is data-independent.
 
+KF_EVERY=4 models the keyframe cadence: the real gate is a host decision
+(rotation-compensated parallax, computed in-graph but thresholded on
+host) and cannot branch inside one jitted chain; measured cadence on the
+golden runs is a keyframe every 2-6 frames, so every-4th is
+representative, and detection runs EVERY frame here (the pipeline's
+detect-skip would only make this number better).
+
 Secondary diagnostics (solver-only rates, per-stage times) go to stderr.
 """
 
