@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--noise-after", type=float, default=0.0,
                     help="apply --pixel-noise only after this time (s): "
                          "clean initialization, then degraded tracking")
+    ap.add_argument("--escape-dist", type=float, default=None,
+                    help="override plane_escape_distance (m): the 0.1 m "
+                         "reference gate is too coarse to shed mm-regime "
+                         "bad adoptions")
     ap.add_argument("--kp-sigma", type=float, default=None,
                     help="declared keypoint noise sigma in px (reference "
                          "camera.noise config) — raise for noisy imagery")
@@ -78,6 +82,8 @@ def main():
     if args.kp_sigma is not None:
         import numpy as _np
         cfg.camera_noise_cov = _np.eye(2) * args.kp_sigma ** 2
+    if args.escape_dist is not None:
+        cfg.plane_escape_distance = args.escape_dist
 
     scene = synthetic.make_scene(
         duration=args.duration, fps=args.fps, imu_rate=200.0,
