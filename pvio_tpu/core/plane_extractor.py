@@ -321,9 +321,24 @@ class PlaneExtractor:
         rpe_before = self._rpe_batch(hw, pts[cols, None, :], cols=cols)[:, 0]
         rpe_after = np.where(valid,
                              self._rpe_batch(hw, cast, cols=cols), np.inf)
+        # noise-aware adoption: the reference's ratio gate
+        # (rpe_after/rpe_before < 1.2, plane_extractor.cpp:131-140)
+        # accepts near-anything once both errors are noise-dominated —
+        # measured as the main plane contamination path on degraded
+        # imagery. rpe_after and rpe_before share the SAME observations,
+        # so their squared difference cancels most of the keypoint noise
+        # and isolates the geometric displacement of casting onto the
+        # plane: adopt when that displacement is within half the
+        # declared keypoint sigma (camera.noise config), or the absolute
+        # error is small outright. At the default sigma (~0.7 px) this
+        # is as permissive as the reference's gates on clean imagery.
+        sigma = float(np.sqrt(np.mean(np.diag(
+            np.asarray(self.cfg.camera_noise_cov)))))
         with np.errstate(invalid="ignore", divide="ignore"):
-            passes = (rpe_after / np.maximum(rpe_before, 1e-12)[:, None]
-                      < extend_rpe_ratio) | (rpe_after < 0.5)
+            chi_ok = (rpe_after ** 2
+                      <= rpe_before[:, None] ** 2 + (0.5 * sigma) ** 2)
+            abs_ok = rpe_after < max(0.5, 0.7 * sigma)
+            passes = chi_ok | abs_ok
         passes &= valid
         # polar-sector near-boundary gate, batched per plane
         # (plane_extractor.cpp:131-140, sector_area.h:57-118)
