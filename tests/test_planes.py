@@ -330,3 +330,45 @@ def test_plane_track_points_for_pnp(plane_scene):
     assert np.abs(d[is_plane]).max() < 1e-6
     # non-plane tracks unchanged
     assert np.allclose(np.asarray(x1)[~is_plane], np.asarray(x0)[~is_plane])
+
+
+def test_plane_prior_improves_noisy_window():
+    """The paper's core claim (README:1-3, bundle_adjustor.cpp:162-196),
+    asserted at the tier where it is deterministic: under significant
+    keypoint noise, arming the plane prior must reduce window pose error
+    substantially vs the plane-free solve (measured ~2x at 3 px noise),
+    and the anchored in-solve plane estimation must not give that back."""
+    import jax
+    from pvio_tpu.estimation import ba as ba_mod
+    from pvio_tpu.io import synthetic
+
+    scene = synthetic.make_scene(duration=3.0, fps=20.0, imu_rate=200.0,
+                                 n_points=140, n_plane_points=160, seed=648)
+    noise_px = 3.0
+    w, extr, info = synthetic.solver_window_from_scene(
+        scene, list(range(0, 32, 4)), F_cap=9, T_cap=256, dtype=jnp.float64,
+        kp_noise=noise_px / 458.0)
+    w, n_members = synthetic.flag_plane_tracks(w, scene, info)
+    assert n_members >= 20
+    rng = np.random.default_rng(1)
+    wp = w._replace(
+        p=w.p + jnp.asarray(rng.normal(size=w.p.shape)) * 0.02,
+        fix_mask=jnp.zeros_like(w.fix_mask).at[0].set(True))
+    gt_p = np.array(w.p)
+    fm = np.array(w.frame_mask)
+
+    def err(planes, est):
+        cfg = ba_mod.BAConfig(iterations=15, kp_sqrt_inv_cov=458.0 / noise_px,
+                              use_planes=planes, estimate_planes=est,
+                              use_inertial=True, min_plane_tracks=20)
+        w2, _ = ba_mod.solve(wp, extr, cfg)
+        return float(np.linalg.norm(np.array(w2.p) - gt_p, axis=1)[fm].mean())
+
+    e_off = err(False, False)
+    e_fixed = err(True, False)
+    e_anchored = err(True, True)
+    # measured: 31.3 / 16.8 / 16.7 mm
+    assert e_fixed < 0.75 * e_off, (e_fixed, e_off)
+    assert e_anchored < 0.75 * e_off, (e_anchored, e_off)
+    # the anchor must hold: anchored estimation within 25% of fixed-plane
+    assert e_anchored < 1.25 * e_fixed, (e_anchored, e_fixed)
