@@ -49,6 +49,8 @@ def _kernel_cache_key(config):
         int(getattr(config, "plane_min_track_life", 10)),
         int(getattr(config, "plane_escape_min_life", 10)),
         float(getattr(config, "plane_escape_distance", 0.1)),
+        float(getattr(config, "plane_sigma_gate_k", 3.0)),
+        float(getattr(config, "plane_sigma_gate_floor", 0.005)),
         int(config.imu_buffer_capacity),
         float(config.kp_sqrt_inv_cov),
         float(getattr(config, "cauchy_scale", 1.0)),
@@ -476,10 +478,23 @@ class DeviceKernels:
             if cfg.enable_plane_constraint:
                 # bad plane adoptions escape back to free points
                 # (bundle_adjustor.cpp:251-275)
+                gate_k = float(getattr(cfg, "plane_sigma_gate_k", 3.0))
+                sigma_px = float(np.sqrt(np.mean(np.diag(
+                    np.asarray(cfg.camera_noise_cov)))))
+                # host floats, NOT K (a closed-over device array would
+                # trace here)
+                fx, fy = (float(cfg.camera_intrinsic[0]),
+                          float(cfg.camera_intrinsic[1]))
+                f_px = 0.5 * (fx + fy)
                 w2 = ba_mod.plane_track_escape(
                     w2, extr, track_life,
                     min_life=int(getattr(cfg, "plane_escape_min_life", 10)),
                     escape_dist=float(getattr(cfg, "plane_escape_distance", 0.1)),
+                    kp_sigma_px=sigma_px if gate_k > 0 else None,
+                    f_px=f_px if gate_k > 0 else None,
+                    sigma_k=gate_k,
+                    dist_floor=float(getattr(cfg, "plane_sigma_gate_floor",
+                                             0.005)),
                 )
             w2 = ba_mod.post_solve_update(w2, extr, K)
             # fresh post-solve geometry riding the same fetch: multi-view

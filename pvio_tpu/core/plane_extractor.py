@@ -307,6 +307,18 @@ class PlaneExtractor:
             np.concatenate([kp_ref, np.ones((C, 1))], axis=-1))
         n = hw.plane_normal[slots]                           # (P, 3)
         dist = hw.plane_distance[slots]                      # (P,)
+        # per-plane common-mode offset of the CURRENT member landmarks
+        # (see ba.plane_track_escape): with the plane held as a
+        # slowly-varying world anchor, the window drifts relative to it;
+        # candidates live in the window frame, so cast and test against
+        # the drift-compensated plane d + median member offset
+        med = np.zeros(len(slots))
+        for j, sl in enumerate(slots):
+            mm = ((hw.plane_id == sl) & hw.track_mask
+                  & ((hw.track_flags & TF_PLANE) != 0))
+            if mm.any():
+                med[j] = np.median(pts[mm] @ n[j] - dist[j])
+        dist = dist + med
         denom = bearing @ n.T                                # (C, P)
         # is_parallel gate: ray within ~20 deg of the plane
         not_parallel = (np.abs(denom)
@@ -340,6 +352,40 @@ class PlaneExtractor:
             abs_ok = rpe_after < max(0.5, 0.7 * sigma)
             passes = chi_ok | abs_ok
         passes &= valid
+        # statistical point-to-plane test (the escape gate's symmetric
+        # counterpart, ba.plane_track_escape): the candidate's CURRENT
+        # (BA-optimized) triangulation must lie within sigma_k plane-
+        # distance standard deviations of the plane, where sigma_plane
+        # follows from the declared keypoint sigma, the track's depth and
+        # its baseline. Rejects confidently-off-plane tracks that the rpe
+        # gates cannot see (their rpe displacement is noise-dominated),
+        # while leaving genuinely depth-uncertain tracks adoptable —
+        # those are the ones the structural prior helps.
+        gate_k = float(getattr(self.cfg, "plane_sigma_gate_k", 3.0))
+        if gate_k > 0:
+            K = self.cfg.K
+            f_px = float(0.5 * (K[0, 0] + K[1, 1]))
+            z = 1.0 / np.maximum(np.abs(hw.inv_depth[cols]), 1e-6)
+            b_dir = bearing / np.linalg.norm(bearing, axis=-1, keepdims=True)
+            base_c = self._baseline(hw, pts)[cols]
+            ang = sigma / f_px
+            sig_z = ang * z * z / np.maximum(base_c, 1e-3)
+            sig_lat = ang * z
+            c2 = (b_dir @ n.T) ** 2                       # (C, P)
+            # multi-view averaging factor (see ba.plane_track_escape)
+            n_obs = (hw.obs_mask[:, cols]
+                     & hw.frame_mask[:, None]).sum(axis=0)
+            red = 1.0 / np.sqrt(np.maximum(n_obs - 1, 1).astype(float))
+            sigma_pl = red[:, None] * np.sqrt(
+                c2 * sig_z[:, None] ** 2
+                + (1.0 - c2) * sig_lat[:, None] ** 2)
+            thresh = np.minimum(
+                float(getattr(self.cfg, "plane_escape_distance", 0.1)),
+                np.maximum(float(getattr(self.cfg, "plane_sigma_gate_floor",
+                                         0.005)),
+                           gate_k * sigma_pl))
+            off = np.abs(pts[cols] @ n.T - dist[None, :])  # (C, P)
+            passes &= off <= thresh
         # polar-sector near-boundary gate, batched per plane
         # (plane_extractor.cpp:131-140, sector_area.h:57-118)
         near = np.zeros((C, P), bool)
@@ -351,17 +397,29 @@ class PlaneExtractor:
             if m.any():
                 near[m, j] = sa.is_near_boundary_batch(
                     area, cast[m, j], True, 1.2, 0.1)
-        adopted = (passes & near).any(axis=1)
-        best_j = np.argmin(rpe_after, axis=1)                # (C,)
-        best_ok = np.isfinite(rpe_after[np.arange(C), best_j])
+        eligible = passes & near
+        adopted = eligible.any(axis=1)
+        # best plane = lowest rpe among the planes that PASSED the gates
+        # (argmin over all planes could select a gate-failing one)
+        rpe_gated = np.where(eligible, rpe_after, np.inf)
+        best_j = np.argmin(rpe_gated, axis=1)                # (C,)
+        best_ok = np.isfinite(rpe_gated[np.arange(C), best_j])
         for i in np.nonzero(adopted & best_ok)[0]:
             c = int(cols[i])
             j = int(best_j[i])
             s_best = int(slots[j])
             hw.track_flags[c] |= TF_PLANE
             hw.plane_id[c] = s_best
-            # move the landmark onto the best plane point
-            self._set_landmark(hw, c, cast[i, j])
+            # NOTE: the triangulated inverse depth is deliberately KEPT
+            # (the reference overwrites the landmark with the cast point,
+            # plane_extractor.cpp:141-145 — but every downstream consumer
+            # here re-derives plane geometry fresh: BA's augmented factor
+            # triangulates implicitly, PnP ray-casts per frame
+            # (kernels.plane_points), refits use post-solve
+            # triangulations. Keeping the free-point depth preserves the
+            # information the escape test and a small-plane reprojection
+            # fallback need; overwriting it was measured as a
+            # contamination path on degraded imagery, PERF_NOTES round 3.)
             if s_best in self.areas:
                 self.areas[s_best] = sa.insert(
                     self.areas[s_best], cast[i, j][None])

@@ -494,17 +494,32 @@ def solve(w: WindowState, extr: Extrinsics, cfg: BAConfig):
 # ----------------------------------------------------------------------------
 
 def plane_track_escape(w: WindowState, extr: Extrinsics, track_life,
-                       min_life=10, escape_dist=0.1):
+                       min_life=10, escape_dist=0.1,
+                       kp_sigma_px=None, f_px=None,
+                       sigma_k=3.0, dist_floor=0.005):
     """Post-solve plane-track escape (bundle_adjustor.cpp:251-275).
 
     After BA, re-triangulate every TF_PLANE track as a free point from
     the current (just-optimized) poses; if the track is mature
     (life > min_life), has enough baseline (plane_extractor.cpp:200-203)
-    and the free point sits more than `escape_dist` (0.1 m) off its
-    plane, the plane constraint was a bad adoption: release the track
-    back to TF_VALID with the re-triangulated depth. Runs device-side
-    inside the fused ba_step — `track_life` is the (T,) observation
-    count (Track::life) shipped with the window upload.
+    and the free point sits off its plane by more than the track's own
+    triangulation uncertainty allows, the plane constraint was a bad
+    adoption: release the track back to TF_VALID with the re-triangulated
+    depth. Runs device-side inside the fused ba_step — `track_life` is
+    the (T,) observation count (Track::life) shipped with the window
+    upload.
+
+    The reference uses a fixed 0.1 m gate (bundle_adjustor.cpp:263),
+    which never sheds cm-regime bad adoptions in room-scale scenes —
+    measured as the dominant plane contamination path on degraded
+    imagery (PERF_NOTES round 3). When `kp_sigma_px`/`f_px` are given,
+    the threshold becomes noise-scaled per track:
+    min(escape_dist, max(dist_floor, sigma_k * sigma_plane)) where
+    sigma_plane is the first-order plane-distance std of the free
+    triangulation (depth error (sigma/f) z^2/baseline projected on the
+    plane normal + lateral bearing error) — the reference's 0.1 m stays
+    as the hard envelope, but well-constrained tracks escape as soon as
+    they are *significantly* off-plane.
     """
     pts, inv_d, tri_ok = win.triangulate_tracks(w, extr)
     baseline = win.track_baselines(w)
@@ -515,9 +530,46 @@ def plane_track_escape(w: WindowState, extr: Extrinsics, track_life,
     is_plane = ((w.track_flags & TF_PLANE) != 0) & w.track_mask
     P = w.plane_mask.shape[0]
     pid = jnp.clip(w.plane_id, 0, P - 1)
-    off = jnp.abs(
-        jnp.einsum("ti,ti->t", w.plane_normal[pid], pts) - w.plane_distance[pid]
-    ) > escape_dist
+    n_pl = w.plane_normal[pid]
+    # Per-plane common-mode compensation: with the plane estimated as a
+    # slowly-varying WORLD anchor (BAConfig.estimate_planes), the window
+    # (poses + free triangulations) can drift centimeters relative to the
+    # plane before the factor pulls it back — that shared offset is the
+    # anchor doing its job, not evidence that any particular adoption was
+    # wrong. Measure each member against the ROBUST (median) member
+    # offset, so only a track's deviation from its peers triggers escape.
+    signed = jnp.einsum("ti,ti->t", n_pl, pts) - w.plane_distance[pid]
+    member_ok = is_plane & (w.plane_id >= 0) & tri_ok
+    med = jnp.zeros(P, signed.dtype)
+    for p in range(P):
+        vals = jnp.where(member_ok & (pid == p), signed, jnp.nan)
+        m_p = jnp.nanmedian(vals)
+        med = med.at[p].set(jnp.where(jnp.isnan(m_p), 0.0, m_p))
+    if kp_sigma_px is not None and f_px is not None:
+        z = 1.0 / jnp.maximum(jnp.abs(inv_d), 1e-6)
+        T = w.kp.shape[1]
+        z_ref = jnp.take_along_axis(w.kp, w.ref_frame[None, :, None],
+                                    axis=0)[0]
+        q_wc = lie.quat_mul(w.q[w.ref_frame],
+                            jnp.broadcast_to(extr.q_bc, (T, 4)))
+        bearing = lie.quat_rotate(
+            q_wc,
+            jnp.concatenate([z_ref, jnp.ones((T, 1), z_ref.dtype)], axis=-1))
+        bearing = bearing / jnp.linalg.norm(bearing, axis=-1, keepdims=True)
+        c2 = jnp.einsum("ti,ti->t", n_pl, bearing) ** 2
+        ang = kp_sigma_px / f_px
+        sig_z = ang * z * z / jnp.maximum(baseline, 1e-3)
+        sig_lat = ang * z
+        # multi-view averaging: the two-view depth-error model above
+        # overstates an n-view DLT's error by ~sqrt(n-1)
+        n_obs = jnp.sum(w.obs_mask & w.frame_mask[:, None], axis=0)
+        red = jax.lax.rsqrt(jnp.maximum(n_obs - 1, 1).astype(z.dtype))
+        sigma_pl = red * jnp.sqrt(c2 * sig_z**2 + (1.0 - c2) * sig_lat**2)
+        thresh = jnp.minimum(escape_dist,
+                             jnp.maximum(dist_floor, sigma_k * sigma_pl))
+    else:
+        thresh = escape_dist
+    off = jnp.abs(signed - med[pid]) > thresh
     escape = (
         is_plane & (w.plane_id >= 0) & w.plane_mask[pid]
         & (track_life > min_life) & enough & tri_ok & off

@@ -102,7 +102,11 @@ def solve_pnp(
             b = b + Jp.T @ rpv
         diag = jnp.maximum(jnp.diag(H), 1e-8)
         Hd = H + jnp.diag(lam * diag)
-        d = -jnp.linalg.solve(Hd + 1e-9 * jnp.trace(Hd) / 15 * jnp.eye(15, dtype=dtype), b)
+        # SPD system: Cholesky solve (LU-backed jnp.linalg.solve has no
+        # f64 TPU kernel; the damped GN Hessian is SPD by construction)
+        ch = jax.scipy.linalg.cho_factor(
+            Hd + 1e-9 * jnp.trace(Hd) / 15 * jnp.eye(15, dtype=dtype))
+        d = -jax.scipy.linalg.cho_solve(ch, b)
         new_state = retract(state, d)
         _, _, _, cost1 = residuals(new_state)
         return new_state, cost0, cost1

@@ -75,8 +75,11 @@ def find_homography(key, x1, x2, mask, threshold=1.0, n_hyp=256):
     Hs = jax.vmap(solve)(idx)
 
     def score(H):
+        # adjugate inverse: H^-1 = adj(H)/det(H); the transfer error is
+        # scale-invariant so the det division is only for conditioning.
+        # (jnp.linalg.inv lowers to LU, which has no f64 TPU kernel.)
         return hom.homography_geometric_error(H, x1, x2) + hom.homography_geometric_error(
-            jnp.linalg.inv(H), x2, x1
+            hom.inv3(H), x2, x1
         )
 
     errs = jax.vmap(score)(Hs)

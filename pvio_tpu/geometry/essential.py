@@ -307,7 +307,15 @@ def solve_essential_5pt(x1, x2):
         Apq = Kz[:, :2]
         b = -Kz[:, 2]
         AtA = Apq.T @ Apq + 1e-12 * jnp.eye(2, dtype=Kz.dtype)
-        xy = jnp.linalg.solve(AtA, Apq.T @ b)
+        # closed-form 2x2 solve (LU-backed jnp.linalg.solve has no f64
+        # TPU kernel and this is vmapped over the root candidates)
+        rhs = Apq.T @ b
+        det = AtA[0, 0] * AtA[1, 1] - AtA[0, 1] * AtA[1, 0]
+        det = jnp.where(jnp.abs(det) < 1e-24, 1e-24, det)
+        xy = jnp.stack([
+            (AtA[1, 1] * rhs[0] - AtA[0, 1] * rhs[1]) / det,
+            (AtA[0, 0] * rhs[1] - AtA[1, 0] * rhs[0]) / det,
+        ])
         return xy
 
     xys = jax.vmap(solve_xy)(roots)  # (10, 2)

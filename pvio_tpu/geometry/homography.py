@@ -13,22 +13,31 @@ from pvio_tpu.geometry import lie
 
 
 def _normalize_points(x):
-    """Hartley normalization: (N, 2) -> (normalized points, 3x3 transform)."""
+    """Hartley normalization: (N, 2) -> (normalized points, 3x3 transform,
+    3x3 inverse transform). The inverse is closed-form (the transform is a
+    uniform-scale + translation similarity) — composing with it must not
+    go through a generic linear solve: batched LU has no f64 TPU kernel,
+    and RANSAC vmaps this over hundreds of hypotheses."""
     c = jnp.mean(x, axis=-2, keepdims=True)
     d = jnp.mean(jnp.linalg.norm(x - c, axis=-1), axis=-1)
     s = jnp.sqrt(jnp.asarray(2.0, x.dtype)) / jnp.maximum(d, 1e-12)
     xn = (x - c) * s
+    cx, cy = c[..., 0, 0], c[..., 0, 1]
     T = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], dtype=x.dtype)
     T = T.at[0, 0].set(s).at[1, 1].set(s)
-    T = T.at[0, 2].set(-s * c[..., 0, 0]).at[1, 2].set(-s * c[..., 0, 1])
-    return xn, T
+    T = T.at[0, 2].set(-s * cx).at[1, 2].set(-s * cy)
+    Tinv = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], dtype=x.dtype)
+    inv_s = 1.0 / s
+    Tinv = Tinv.at[0, 0].set(inv_s).at[1, 1].set(inv_s)
+    Tinv = Tinv.at[0, 2].set(cx).at[1, 2].set(cy)
+    return xn, T, Tinv
 
 
 def solve_homography(x1, x2):
     """DLT homography from N >= 4 correspondences (x2 ~ H x1), both (N, 2)
     in normalized camera coords. Returns (3, 3) H."""
-    p1, T1 = _normalize_points(x1)
-    p2, T2 = _normalize_points(x2)
+    p1, T1, _ = _normalize_points(x1)
+    p2, _, T2inv = _normalize_points(x2)
     u, v = p1[..., 0], p1[..., 1]
     up, vp = p2[..., 0], p2[..., 1]
     one = jnp.ones_like(u)
@@ -41,8 +50,34 @@ def solve_homography(x1, x2):
     _, vecs = jnp.linalg.eigh(AtA)
     h = vecs[:, 0]
     Hn = h.reshape(3, 3)
-    H = jnp.linalg.solve(T2, Hn @ T1)
+    H = T2inv @ (Hn @ T1)
     return H / H[2, 2]
+
+
+def inv3(M):
+    """Closed-form 3x3 inverse via the adjugate — stays on the VPU
+    (LU-backed jnp.linalg.inv has no f64 TPU kernel and breaks fusion
+    when vmapped over RANSAC hypothesis batches)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    Hc = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], axis=-1),
+        jnp.stack([D, E, F], axis=-1),
+        jnp.stack([G, Hc, I], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
 
 
 def homography_geometric_error(H, p1, p2):

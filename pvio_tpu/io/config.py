@@ -100,6 +100,15 @@ class Config:
     plane_min_track_life: int = 10         # plane_extractor.cpp:47 (life >= 10)
     plane_escape_min_life: int = 10        # bundle_adjustor.cpp:257 (life > 10)
     plane_escape_distance: float = 0.1     # bundle_adjustor.cpp:263 (0.1 m off-plane)
+    # noise-scaled membership tests (beyond-reference; PERF_NOTES round 3:
+    # the fixed 0.1 m gate never sheds cm-regime bad adoptions). The
+    # escape/adoption threshold per track is
+    # min(plane_escape_distance, max(floor, k * sigma_plane)) with
+    # sigma_plane the first-order plane-distance std of the track's free
+    # triangulation at the declared keypoint sigma. k <= 0 disables
+    # (reference fixed-gate behavior).
+    plane_sigma_gate_k: float = 3.0
+    plane_sigma_gate_floor: float = 0.005  # meters
     # estimate plane normal/distance inside the BA solve (3-dof tangent
     # per armed plane in the reduced camera system). The reference holds
     # them constant and hard-refits on the host between solves; joint

@@ -32,11 +32,13 @@ def _shi_tomasi_kernel(in_ref, out_ref):
 
     def sh(a, dy, dx):
         # pltpu.roll requires non-negative shifts; -d mod size is the
-        # same circular shift
+        # same circular shift. The shift operand must be i32 — under
+        # jax_enable_x64 a bare Python int lowers to i64, which the
+        # tpu.dynamic_rotate verifier rejects.
         if dy:
-            a = pltpu.roll(a, (-dy) % H, 0)
+            a = pltpu.roll(a, jnp.int32((-dy) % H), 0)
         if dx:
-            a = pltpu.roll(a, (-dx) % W, 1)
+            a = pltpu.roll(a, jnp.int32((-dx) % W), 1)
         return a
 
     # Scharr gradients (image.py _SCHARR_X/_SCHARR_Y), /32 normalization
@@ -76,6 +78,12 @@ def shi_tomasi_response_tpu(img):
     implementation bit-for-bit up to fma reassociation.
     """
     H, W = img.shape
+    # the response only RANKS corners (top-K + threshold gates); run the
+    # kernel in f32 regardless of the pipeline dtype — TPU vector units
+    # have no native f64 lanes, and float64 golden runs would otherwise
+    # fail to lower
+    in_dtype = img.dtype
+    img = img.astype(jnp.float32)
     Wp = -(-W // 128) * 128
     Hp = -(-H // 8) * 8
     if (Hp, Wp) != (H, W):
@@ -86,4 +94,4 @@ def shi_tomasi_response_tpu(img):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(img)
-    return out[:H, :W]
+    return out[:H, :W].astype(in_dtype)

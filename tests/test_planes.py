@@ -313,6 +313,107 @@ def test_plane_track_escape(plane_scene):
     assert float(sol_info["final_cost"]) < float(sol_info["initial_cost"])
 
 
+def test_noise_scaled_plane_gates(plane_scene):
+    """Noise-scaled membership tests (beyond-reference; PERF_NOTES r3):
+
+    (a) escape — a handful of members whose observations actually see a
+        point 9 cm off the plane (a bad adoption at below the reference's
+        0.1 m radar, bundle_adjustor.cpp:263) must be shed by the
+        sigma-scaled gate while genuine members stay;
+    (a') a uniform plane-parameter shift is COMMON-MODE (the anchored
+        plane lagging window drift) and must shed nobody;
+    (b) adoption — extend_planes must not adopt confidently-off-plane
+        tracks, and must NOT overwrite adopted tracks' triangulated
+        inverse depth (the cast-point overwrite was a measured
+        contamination path on degraded imagery)."""
+    from pvio_tpu.geometry import nplie
+
+    cfg = plane_config()
+    kf = [0, 4, 8, 12, 16, 20]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    kern = DeviceKernels(cfg)
+    pe = PlaneExtractor(cfg, kern)
+    pe.update_map(hw)
+    s = int(np.nonzero(hw.plane_mask)[0][0])
+    members = ((hw.plane_id == s) & hw.track_mask
+               & ((hw.track_flags & TF_PLANE) != 0))
+    assert members.sum() >= 25
+    n_pl = hw.plane_normal[s]
+
+    # (a) rewrite 4 members' observations to view a point 9 cm off the
+    # plane along its normal — what a bad adoption near a wall edge
+    # looks like; below the reference 0.1 m gate
+    q_bc, p_bc = np.asarray(cfg.q_bc), np.asarray(cfg.p_bc)
+
+    def reobserve(c, x_new):
+        for f in np.nonzero(hw.obs_mask[:, c] & hw.frame_mask)[0]:
+            q_wc = nplie.quat_mul(hw.q[f], q_bc)
+            o = hw.p[f] + nplie.quat_to_mat(hw.q[f]) @ p_bc
+            y = nplie.quat_to_mat(q_wc).T @ (x_new - o)
+            hw.kp[f, c] = y[:2] / y[2]
+
+    pts0 = pe._landmarks(hw)
+    # pick mature members (escape needs life > plane_min_track_life)
+    n_obs = (hw.obs_mask & hw.frame_mask[:, None]).sum(axis=0)
+    bad = np.nonzero(members & (n_obs >= 5))[0][:4]
+    assert len(bad) == 4
+    for c in bad:
+        reobserve(int(c), pts0[c] + 0.09 * n_pl)
+
+    w = hw.to_device()
+    life = jnp.asarray(hw.track_life)
+    K = cfg.K
+    f_px = float(0.5 * (K[0, 0] + K[1, 1]))
+    sigma_px = float(np.sqrt(np.mean(np.diag(cfg.camera_noise_cov))))
+
+    w_legacy = ba.plane_track_escape(
+        w, extr, life, min_life=cfg.plane_min_track_life, escape_dist=0.1)
+    legacy_escaped = members & (
+        (np.array(w_legacy.track_flags) & TF_PLANE) == 0)
+    assert legacy_escaped.sum() == 0, "0.1 m gate must not see 9 cm offsets"
+
+    w_sigma = ba.plane_track_escape(
+        w, extr, life, min_life=cfg.plane_min_track_life, escape_dist=0.1,
+        kp_sigma_px=sigma_px, f_px=f_px, sigma_k=3.0, dist_floor=0.005)
+    flags_s = np.array(w_sigma.track_flags)
+    assert ((flags_s[bad] & TF_PLANE) == 0).all(), "bad members must escape"
+    genuine = members.copy()
+    genuine[bad] = False
+    stay = ((flags_s[genuine] & TF_PLANE) != 0)
+    assert stay.mean() > 0.9, f"genuine members kept: {stay.mean():.2f}"
+
+    # (a') a uniform 8 cm plane shift is common-mode: nobody escapes
+    hw2s, _, _ = make_host_window(plane_scene, cfg, kf)
+    pe2s = PlaneExtractor(cfg, kern)
+    pe2s.update_map(hw2s)
+    s2s = int(np.nonzero(hw2s.plane_mask)[0][0])
+    members2 = ((hw2s.plane_id == s2s) & hw2s.track_mask
+                & ((hw2s.track_flags & TF_PLANE) != 0))
+    hw2s.plane_distance[s2s] += 0.08
+    w_shift = ba.plane_track_escape(
+        hw2s.to_device(), extr, jnp.asarray(hw2s.track_life),
+        min_life=cfg.plane_min_track_life, escape_dist=0.1,
+        kp_sigma_px=sigma_px, f_px=f_px, sigma_k=3.0, dist_floor=0.005)
+    shed = members2 & ((np.array(w_shift.track_flags) & TF_PLANE) == 0)
+    assert shed.sum() == 0, "uniform plane shift must be absorbed as drift"
+
+    # (b) fresh window: adoption must keep depths and reject off-plane
+    hw2, extr2, info2 = make_host_window(plane_scene, cfg, kf)
+    pe2 = PlaneExtractor(cfg, kern)
+    pe2.update_map(hw2)
+    s2 = int(np.nonzero(hw2.plane_mask)[0][0])
+    before_plane = (hw2.track_flags & TF_PLANE) != 0
+    depth_before = hw2.inv_depth.copy()
+    pe2.extend_planes(hw2)
+    adopted = ((hw2.track_flags & TF_PLANE) != 0) & ~before_plane
+    chosen = info2["chosen"]
+    for c in np.nonzero(adopted)[0]:
+        assert plane_scene.plane_of_point[chosen[c]] == 0, (
+            f"track {c} adopted but its true point is off-plane")
+        assert hw2.inv_depth[c] == depth_before[c], (
+            "adoption must not overwrite the triangulated depth")
+
+
 def test_plane_track_points_for_pnp(plane_scene):
     cfg = plane_config()
     kf = [0, 4, 8, 12, 16]
