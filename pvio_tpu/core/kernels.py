@@ -56,6 +56,8 @@ def _kernel_cache_key(config):
         float(getattr(config, "cauchy_scale", 1.0)),
         float(getattr(config, "feature_tracker_fb_threshold", 0.0)),
         bool(getattr(config, "plane_estimate_in_solver", True)),
+        bool(getattr(config, "plane_supplement", False)),
+        bool(getattr(config, "pnp_use_plane_points", True)),
         h(config.K), h(config.q_bc), h(config.p_bc),
         h(config.q_bi), h(config.p_bi),
         h(config.imu_cov_g), h(config.imu_cov_a),
@@ -108,6 +110,7 @@ class DeviceKernels:
             use_inertial=True,
             use_planes=config.enable_plane_constraint,
             estimate_planes=bool(getattr(config, "plane_estimate_in_solver", True)),
+            plane_supplement=bool(getattr(config, "plane_supplement", False)),
             cauchy_scale=float(getattr(config, "cauchy_scale", 1.0)),
             fused_preint=(jax.default_backend() != "cpu"),
         )
@@ -427,7 +430,8 @@ class DeviceKernels:
             q0, p0, v0, bg0, ba0 = pre.predict(
                 delta, tail_q, tail_p, tail_v, tail_bg, tail_ba)
             x_world = win.landmark_points(w, extr)
-            if cfg.enable_plane_constraint:
+            if cfg.enable_plane_constraint and bool(
+                    getattr(cfg, "pnp_use_plane_points", True)):
                 x_world = plane_points(w, x_world)
             q1, p1, v1, bg1, ba1 = pnp_mod.solve_pnp(
                 q0, p0, v0, bg0, ba0, tail_q, tail_p, tail_v, tail_bg,

@@ -352,6 +352,13 @@ class PlaneExtractor:
             abs_ok = rpe_after < max(0.5, 0.7 * sigma)
             passes = chi_ok | abs_ok
         passes &= valid
+        # evidence gate: the off-plane test below compares the candidate's
+        # free triangulation against the plane — meaningful only when that
+        # triangulation actually explains the observations. During
+        # transient window inconsistency free points scatter 0.2+ m and
+        # the rpe gates become noise-dominated coin flips (the measured
+        # adoption-contamination path); refuse to adopt on junk evidence.
+        passes &= (rpe_before <= max(2.0 * sigma, 1.0))[:, None]
         # statistical point-to-plane test (the escape gate's symmetric
         # counterpart, ba.plane_track_escape): the candidate's CURRENT
         # (BA-optimized) triangulation must lie within sigma_k plane-
@@ -372,11 +379,12 @@ class PlaneExtractor:
             sig_z = ang * z * z / np.maximum(base_c, 1e-3)
             sig_lat = ang * z
             c2 = (b_dir @ n.T) ** 2                       # (C, P)
-            # multi-view averaging factor (see ba.plane_track_escape)
-            n_obs = (hw.obs_mask[:, cols]
-                     & hw.frame_mask[:, None]).sum(axis=0)
-            red = 1.0 / np.sqrt(np.maximum(n_obs - 1, 1).astype(float))
-            sigma_pl = red[:, None] * np.sqrt(
+            # NO multi-view averaging reduction here (unlike the escape
+            # gate): the model omits pose and plane-fit error, so the
+            # 1/sqrt(n_obs-1) factor over-tightens the threshold for
+            # well-observed candidates and starved adoption on clean
+            # scenes (round-3 regression, verified by bisection)
+            sigma_pl = np.sqrt(
                 c2 * sig_z[:, None] ** 2
                 + (1.0 - c2) * sig_lat[:, None] ** 2)
             thresh = np.minimum(
@@ -500,24 +508,68 @@ class PlaneExtractor:
         """
         if fresh is not None:
             pts_np, inv_d, tri_ok, baseline = [np.asarray(a) for a in fresh]
-            well = tri_ok.astype(bool)
+            ok = tri_ok.astype(bool)
         else:
             pts_np = self._landmarks(hw)
             inv_d = hw.inv_depth
             baseline = self._baseline(hw, pts_np)
-            well = np.ones(hw.T, bool)
-        well = (
-            well & hw.track_mask & (hw.track_life >= 15)
-            & ((baseline > 0.5)
-               | ((inv_d < 5.0) & (baseline * np.abs(inv_d) > 0.5)))
-        )
+            ok = np.ones(hw.T, bool)
+        base_ok = ((baseline > 0.5)
+                   | ((inv_d < 5.0) & (baseline * np.abs(inv_d) > 0.5)))
+        well = ok & hw.track_mask & (hw.track_life >= 15) & base_ok
+        # the gauge re-anchor (below) is a per-keyframe coordinate update,
+        # not new-evidence gathering — it uses the plane's own membership
+        # maturity gate rather than the stricter refit gate
+        well_anchor = (ok & hw.track_mask & base_ok
+                       & (hw.track_life >= self.min_track_life))
         in_solver = bool(getattr(self.cfg, "plane_estimate_in_solver", False))
         for s in np.nonzero(hw.plane_mask)[0]:
             m = (hw.plane_id == s) & well
             members = (hw.plane_id == s) & hw.track_mask
             if in_solver:
-                # the solver owns (normal, distance) — the host only
-                # maintains the polar extent from the member points
+                # Re-anchor the plane to the CURRENT gauge. A VIO window
+                # drifts in its unobservable directions (yaw +
+                # translation); holding the plane at its detection-time
+                # parameters (round-3 "world anchor") tilts/offsets it
+                # relative to EVERYTHING in the current window — measured
+                # as 0.1-0.4 m member off-plane spread after ~2 deg of
+                # yaw drift, which mass-triggers escapes and starves
+                # adoption. The reference avoids this by refitting the
+                # plane from current landmarks every keyframe
+                # (plane.cpp:64-114); we do the same, robustly, from the
+                # FRESH post-solve triangulations. The in-solve anchor
+                # prior still pins the plane WITHIN each solve (the
+                # pose+plane null-drift guard) — it just follows the
+                # gauge between solves.
+                mf = members & well_anchor & ((hw.track_flags & TF_PLANE) != 0)
+                if mf.sum() >= 8:
+                    n0, d0 = hw.plane_normal[s], hw.plane_distance[s]
+                    signed = pts_np[mf] @ n0 - d0
+                    med = np.median(signed)
+                    mad = np.median(np.abs(signed - med))
+                    inl_loc = np.abs(signed - med) <= max(
+                        3.0 * 1.4826 * mad, 0.03)
+                    if inl_loc.sum() >= 8:
+                        inl = np.zeros(hw.T, bool)
+                        inl[np.nonzero(mf)[0][inl_loc]] = True
+                        n2, d2, _ = _refine_plane_pca_np(pts_np, inl)
+                        if n2 @ n0 < 0:
+                            n2, d2 = -n2, -d2
+                        if n2 @ n0 > 0.9:  # reject degenerate refits
+                            hw.plane_normal[s] = n2
+                            hw.plane_distance[s] = d2
+                    # keep member bookkeeping in the current gauge too:
+                    # in REPLACEMENT mode (reference semantics) the BA
+                    # never refines member depths, so stored depths
+                    # freeze at adoption and go stale as the gauge
+                    # drifts — poisoning the per-frame PnP that uses
+                    # them as fixed points. In supplement mode the BA
+                    # owns member depths; overwriting them with fresh
+                    # triangulations would discard the solve.
+                    if not bool(getattr(self.cfg, "plane_supplement", False)):
+                        upd = np.nonzero(mf)[0]
+                        hw.inv_depth[upd] = inv_d[upd]
+                # the host maintains the polar extent from member points
                 if members.sum() >= 3:
                     cog = pts_np[members].mean(axis=0)
                     basis = nplie.s2_tangential_basis(hw.plane_normal[s])

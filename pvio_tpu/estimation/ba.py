@@ -72,6 +72,18 @@ class BAConfig(NamedTuple):
     estimate_planes: bool = True
     plane_anchor_sigma_n: float = 0.002   # rad (~0.1 deg) per solve
     plane_anchor_sigma_d: float = 0.001   # meters per solve
+    # Keep the reprojection factors (and free inverse depth) of plane
+    # tracks ALONGSIDE the augmented plane factor. The reference
+    # REPLACES reprojection with the 1-D plane residual for members of
+    # >=20-track planes (bundle_adjustor.cpp:162-196), which discards
+    # those tracks' reprojection information; measured at pipeline tier
+    # (clean oracle scene), that replacement tripled the window's
+    # internal inconsistency during aggressive-motion segments (free-
+    # track fresh-triangulation rpe 1.3 -> 2.6-4.4 px) because ~40% of
+    # the window's vision constraints collapse to one scalar each. With
+    # supplement=True the plane factor acts as a pure coplanarity PRIOR
+    # on top of full vision information.
+    plane_supplement: bool = False
     cauchy_scale: float = 1.0  # robust-loss scale in whitened units (see Config.cauchy_scale)
     fused_preint: bool = False   # struct-of-arrays fused preint factor bank
     lm_lambda_init: float = 1e-4
@@ -105,7 +117,10 @@ def _factor_masks(w: WindowState, cfg: BAConfig, tp_axis=None):
     else:
         big_track = jnp.zeros(T, bool)
 
-    repro_track = w.track_mask & (is_valid | is_plane) & ~big_track
+    if cfg.use_planes and cfg.plane_supplement:
+        repro_track = w.track_mask & (is_valid | is_plane)
+    else:
+        repro_track = w.track_mask & (is_valid | is_plane) & ~big_track
     fm = w.frame_mask
     not_ref = jnp.arange(F)[:, None] != w.ref_frame[None, :]
     repro_mask = w.obs_mask & fm[:, None] & repro_track[None, :] & not_ref
@@ -520,6 +535,16 @@ def plane_track_escape(w: WindowState, extr: Extrinsics, track_life,
     plane normal + lateral bearing error) — the reference's 0.1 m stays
     as the hard envelope, but well-constrained tracks escape as soon as
     they are *significantly* off-plane.
+
+    Evidence gate (sigma mode only): a fresh triangulation is only
+    trustworthy evidence of being off-plane if it actually EXPLAINS the
+    track's observations — during transient window inconsistency (hard
+    turns, right after marginalization) free triangulations scatter
+    0.2-0.5 m and mass-escaping on them (and overwriting the escapees'
+    depths with those junk points, which the per-frame PnP then uses as
+    fixed landmarks) measurably locks the damage into the pose chain.
+    So: escape requires rpe(fresh) <= max(2 kp_sigma, 1 px), and the
+    depth overwrite additionally requires rpe(fresh) < rpe(stored).
     """
     pts, inv_d, tri_ok = win.triangulate_tracks(w, extr)
     baseline = win.track_baselines(w)
@@ -574,13 +599,39 @@ def plane_track_escape(w: WindowState, extr: Extrinsics, track_life,
         is_plane & (w.plane_id >= 0) & w.plane_mask[pid]
         & (track_life > min_life) & enough & tri_ok & off
     )
+    depth_write = escape
+    if kp_sigma_px is not None and f_px is not None:
+        rpe_fresh = _mean_rpe_norm(w, extr, pts) * f_px
+        rpe_stored = _mean_rpe_norm(w, extr, win.landmark_points(w, extr)) * f_px
+        evidence = rpe_fresh <= jnp.maximum(2.0 * kp_sigma_px, 1.0)
+        escape = escape & evidence
+        depth_write = escape & (rpe_fresh < rpe_stored)
     flags = jnp.where(escape, (w.track_flags & ~TF_PLANE) | TF_VALID,
                       w.track_flags)
     return w._replace(
         track_flags=flags,
-        inv_depth=jnp.where(escape, inv_d, w.inv_depth),
+        inv_depth=jnp.where(depth_write, inv_d, w.inv_depth),
         plane_id=jnp.where(escape, -1, w.plane_id),
     )
+
+
+def _mean_rpe_norm(w: WindowState, extr: Extrinsics, x):
+    """Mean NORMALIZED-coordinate reprojection error of candidate points
+    `x` (T, 3) over each track's observing frames; +inf on cheirality
+    failure or no observations (compute_reprojection_error role,
+    plane_extractor.cpp:184-198, device-side)."""
+    q_ws = lie.quat_mul(w.q, jnp.broadcast_to(extr.q_bc, w.q.shape))
+    p_ws = w.p + lie.quat_rotate(w.q, jnp.broadcast_to(extr.p_bc, w.p.shape))
+    y = lie.quat_rotate(
+        lie.quat_conj(q_ws)[:, None, :], x[None, :, :] - p_ws[:, None, :]
+    )  # (F, T, 3)
+    z = y[..., 2]
+    obs = w.obs_mask & w.frame_mask[:, None]
+    err = jnp.linalg.norm(camera.project(y) - w.kp, axis=-1)
+    cnt = jnp.sum(obs, axis=0)
+    mean = jnp.sum(jnp.where(obs, err, 0.0), axis=0) / jnp.maximum(cnt, 1)
+    bad = jnp.any(obs & (z <= 1e-6), axis=0) | (cnt == 0)
+    return jnp.where(bad, jnp.inf, mean)
 
 
 def post_solve_update(w: WindowState, extr: Extrinsics, K, min_z=1.0e-3, max_z=50.0):

@@ -109,6 +109,12 @@ class Config:
     # (reference fixed-gate behavior).
     plane_sigma_gate_k: float = 3.0
     plane_sigma_gate_floor: float = 0.005  # meters
+    # keep plane members' reprojection factors alongside the augmented
+    # plane factor (the reference REPLACES them, bundle_adjustor.cpp:
+    # 162-196; replacement measured to discard enough vision information
+    # to triple window inconsistency during aggressive motion — see
+    # BAConfig.plane_supplement)
+    plane_supplement: bool = False
     # estimate plane normal/distance inside the BA solve (3-dof tangent
     # per armed plane in the reduced camera system). The reference holds
     # them constant and hard-refits on the host between solves; joint
