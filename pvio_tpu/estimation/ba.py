@@ -565,6 +565,10 @@ def plane_track_escape(w: WindowState, extr: Extrinsics, track_life,
     # offset, so only a track's deviation from its peers triggers escape.
     signed = jnp.einsum("ti,ti->t", n_pl, pts) - w.plane_distance[pid]
     member_ok = is_plane & (w.plane_id >= 0) & tri_ok
+    # P independent nanmedians over (T,) — P is the plane-slot CAPACITY
+    # (4-8 in every config, map/window plane_capacity), so the traced
+    # loop stays a handful of small sorts; revisit with a single-sort
+    # masked rank selection only if plane capacity ever grows
     med = jnp.zeros(P, signed.dtype)
     for p in range(P):
         vals = jnp.where(member_ok & (pid == p), signed, jnp.nan)

@@ -71,7 +71,10 @@ def inv3(M):
     Hc = b * g - a * h
     I = a * e - b * d
     det = a * A + b * D + c * G
-    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    # sign-preserving clamp: flipping a small negative determinant to
+    # +eps would silently negate the inverse
+    det = jnp.where(det >= 0, jnp.maximum(det, 1e-18),
+                    jnp.minimum(det, -1e-18))
     adj = jnp.stack([
         jnp.stack([A, B, C], axis=-1),
         jnp.stack([D, E, F], axis=-1),

@@ -105,8 +105,11 @@ class Config:
     # escape/adoption threshold per track is
     # min(plane_escape_distance, max(floor, k * sigma_plane)) with
     # sigma_plane the first-order plane-distance std of the track's free
-    # triangulation at the declared keypoint sigma. k <= 0 disables
-    # (reference fixed-gate behavior).
+    # triangulation at the declared keypoint sigma. k <= 0 reverts only
+    # the THRESHOLD to the fixed plane_escape_distance gate — the
+    # median common-mode drift compensation, the evidence gates and the
+    # kept-triangulated-depth adoption (deliberate deviations from the
+    # reference's cast-point overwrite) remain active regardless.
     plane_sigma_gate_k: float = 3.0
     plane_sigma_gate_floor: float = 0.005  # meters
     # keep plane members' reprojection factors alongside the augmented

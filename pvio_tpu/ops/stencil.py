@@ -74,8 +74,11 @@ def shi_tomasi_response_tpu(img):
 
     img (H, W) float32. Returns (H, W); values within 2 px of the border
     are garbage (circular-shift halo) — callers must border-cull by >= 2
-    (detect_keypoints culls 20). The interior matches the XLA reference
-    implementation bit-for-bit up to fma reassociation.
+    (detect_keypoints culls 20). The kernel ALWAYS computes in f32 (TPU
+    vector units have no f64 lanes): against an f64 host/XLA reference
+    only the corner RANKING is preserved, not the response values —
+    golden comparisons must use f32 tolerances, and near-threshold
+    ranking can diverge from an f64 run.
     """
     H, W = img.shape
     # the response only RANKS corners (top-K + threshold gates); run the
