@@ -103,8 +103,16 @@ class PVIO:
         t, q, p, v, bg, ba = swt.latest_state
         return OutputState(t=t, q=q, p=p, v=v, bg=bg, ba=ba)
 
+    def finish(self):
+        """Drain any in-flight pipelined stages (end of stream). No-op in
+        sequential mode."""
+        self.core.flush()
+
     def get_trajectory(self):
-        """Per-frame optimized outputs [(t, q, p)] accumulated so far."""
+        """Per-frame optimized outputs [(t, q, p)] accumulated so far.
+        Drains the host pipeline first so the trajectory reflects every
+        fed frame."""
+        self.core.flush()
         return list(self.core.outputs)
 
     def get_map_points(self):

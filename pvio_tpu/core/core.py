@@ -71,6 +71,14 @@ class Core:
             except Exception:
                 self.hub = None
         self._images = {}      # frame id -> image (native path)
+        # latency-hiding host pipeline (reference worker decoupling,
+        # utility/worker.h:25-78): frame k's frontend computes + streams
+        # back while the host processes frame k-1. One frame of
+        # estimator lag; bit-identical outputs (same ops, same order,
+        # same inputs — only the host blocking pattern changes).
+        self._pipelined = bool(getattr(config, "pipelined_host", False))
+        self._ft_pending = None   # (in-flight frontend handle)
+        self._swt_pending = None  # (in-flight SWT motion-step record)
 
     # ------------------------------------------------------------------
     # public sensor entry points (pvio.h:135-148 facade semantics)
@@ -114,12 +122,66 @@ class Core:
                 return
             fid, t, ts, ws, accs = got
             image = self._images.pop(fid)
+            self._process_frame(fid, t, image, ts, ws, accs)
+
+    def _process_frame(self, fid, t, image, ts, ws, accs):
+        """Run one camera frame through tracker + frontend — sequentially,
+        or with one frame of pipelining once initialized."""
+        if not (self._pipelined and self.frontend.initialized):
+            self.flush()
             with forensics.timer("feature_tracker_time"):
                 rf = self.feature_tracker.track_frame(fid, t, image, ts, ws, accs)
             state = self.frontend.issue_frame(rf)
             if state is not None:
                 self._emit_output(state)
             self._last_frame_t = t
+            return
+        # pipelined steady state at camera frame k:
+        #   1. finish frontend(k-1)            (transfer landed: ~0 wait)
+        #   2. finish SWT(k-2)                 (transfer landed: ~0 wait)
+        #   3. dispatch SWT(k-1)               (non-blocking)
+        #   4. dispatch frontend(k)            (non-blocking)
+        # Same operations in the same relative order as the sequential
+        # loop — outputs are bit-identical, only the blocking moves.
+        rf_prev = None
+        if self._ft_pending is not None:
+            with forensics.timer("feature_tracker_time"):
+                rf_prev = self.feature_tracker.finish_frame(self._ft_pending)
+            self._ft_pending = None
+        if self._swt_pending is not None:
+            pend, self._swt_pending = self._swt_pending, None
+            state = self.frontend.finish_issued(pend)
+            if state is not None:
+                self._emit_output(state)
+        if rf_prev is not None:
+            if self.frontend.initialized:
+                self._swt_pending = self.frontend.issue_dispatch(rf_prev)
+            else:
+                # re-init happened underneath: route through the
+                # initializer path (sequential until re-initialized)
+                state = self.frontend.issue_frame(rf_prev)
+                if state is not None:
+                    self._emit_output(state)
+        self._ft_pending = self.feature_tracker.dispatch_frame(
+            fid, t, image, ts, ws, accs)
+        self._last_frame_t = t
+
+    def flush(self):
+        """Drain the host pipeline (end of stream / mode transition):
+        completes any in-flight frontend and SWT stages so trajectory
+        queries reflect every fed frame."""
+        if self._swt_pending is not None:
+            pend, self._swt_pending = self._swt_pending, None
+            state = self.frontend.finish_issued(pend)
+            if state is not None:
+                self._emit_output(state)
+        if self._ft_pending is not None:
+            with forensics.timer("feature_tracker_time"):
+                rf = self.feature_tracker.finish_frame(self._ft_pending)
+            self._ft_pending = None
+            state = self.frontend.issue_frame(rf)
+            if state is not None:
+                self._emit_output(state)
 
     # ------------------------------------------------------------------
     def _pair_imu(self):

@@ -20,6 +20,17 @@ import numpy as np
 from pvio_tpu.utils.forensics import bus as forensics
 
 
+def _start_host_copy(arrays):
+    """Begin non-blocking device->host transfers (measured on the axon
+    tunnel: a later np.asarray costs ~0.2 ms instead of the ~25-55 ms
+    blocking fetch when the copy had a frame interval to land)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass  # backend without async copies: finish() blocks instead
+
+
 @dataclass
 class RawFrame:
     """Host record of one tracked frame (role of map/frame.h for the
@@ -94,7 +105,23 @@ class FeatureTracker:
         return qc / np.linalg.norm(qc)
 
     def track_frame(self, frame_id, t, img, imu_ts, imu_w, imu_a):
-        """Process one camera frame; returns the new RawFrame."""
+        """Process one camera frame synchronously; returns the new
+        RawFrame. Equivalent to dispatch_frame + finish_frame."""
+        return self.finish_frame(
+            self.dispatch_frame(frame_id, t, img, imu_ts, imu_w, imu_a))
+
+    def dispatch_frame(self, frame_id, t, img, imu_ts, imu_w, imu_a):
+        """Issue the fused frontend device step for this frame and START
+        the device->host copies of its outputs WITHOUT blocking; returns
+        an opaque handle for finish_frame.
+
+        This is the latency-hiding half of the reference's worker
+        decoupling (utility/worker.h:25-78): the device computes frame k
+        and streams its results back while the host does frame k-1's
+        association and estimator bookkeeping. The device-resident
+        tracker state (pyramid, response, keypoint slots) advances at
+        dispatch time — the next dispatch chains on device references,
+        never on host values of this frame."""
         cfg = self.cfg
         Kmax = cfg.feature_tracker_max_keypoint_detection
 
@@ -103,51 +130,78 @@ class FeatureTracker:
             pyr, resp, kp_dev, mask_dev = self.k.first_frame_step(
                 jnp.asarray(img))
             self.prev_response = resp
-            kp, mask = [np.array(a) for a in jax.device_get((kp_dev, mask_dev))]
             self._kp_dev, self._mask_dev = kp_dev, mask_dev
+            self.prev_pyramid = pyr
+            _start_host_copy((kp_dev, mask_dev))
+            return dict(first=True, frame_id=frame_id, t=t, img=img,
+                        imu_ts=imu_ts, imu_w=imu_w, imu_a=imu_a,
+                        kp_dev=kp_dev, mask_dev=mask_dev)
+
+        prev = self.frames[-1]
+        dq_cam = (self._interframe_camera_rotation(imu_ts, imu_w, prev.t, t)
+                  if cfg.feature_tracker_predict_keypoints
+                  else np.array([1.0, 0, 0, 0]))
+        # ONE batched upload (image + gyro rotation + RNG key data);
+        # the keypoint state stays device-resident between frames.
+        # uint8 images ship as-is (normalized in-graph); anything else
+        # is cast to the engine dtype on host so float64 synthetic
+        # imagery doesn't ship at double width
+        np_dt = np.float32 if self.k.dtype == jnp.float32 else np.float64
+        img_h = np.asarray(img)
+        if img_h.dtype != np.uint8 and img_h.dtype != np_dt:
+            img_h = img_h.astype(np_dt)
+        img_d, dq_d, key_d = jax.device_put(
+            (img_h, np.asarray(dq_cam, np_dt), self._next_key_data()))
+        # fused preprocess + predicted flow + KLT + F-gate + detect +
+        # merge: one device dispatch per frame. Detection is skipped
+        # while the keypoint budget is nearly full (Poisson-disk
+        # suppression would reject every candidate anyway) — the
+        # previous frame's alive count decides which compiled
+        # variant runs, with zero extra device traffic.
+        min_free = int(getattr(cfg, "feature_tracker_detect_min_free", 0))
+        n_prev_alive = int(prev.kp_mask.sum())
+        step = (self.k.frame_step_nodetect
+                if Kmax - n_prev_alive < min_free else self.k.frame_step)
+        pyr, resp, kp_dev, mask_dev, status, det_mask = step(
+            self.prev_pyramid, self.prev_response, img_d,
+            self._kp_dev, self._mask_dev, dq_d, key_d,
+        )
+        self.prev_response = resp
+        self._kp_dev, self._mask_dev = kp_dev, mask_dev
+        self.prev_pyramid = pyr
+        _start_host_copy((kp_dev, mask_dev, status, det_mask))
+        return dict(first=False, frame_id=frame_id, t=t, img=img,
+                    imu_ts=imu_ts, imu_w=imu_w, imu_a=imu_a, prev=prev,
+                    kp_dev=kp_dev, mask_dev=mask_dev, status=status,
+                    det_mask=det_mask)
+
+    def finish_frame(self, handle):
+        """Harvest a dispatch_frame handle (the async copies have had a
+        frame interval to land, so this blocks ~0 in steady state) and
+        run the host bookkeeping; returns the new RawFrame."""
+        cfg = self.cfg
+        Kmax = cfg.feature_tracker_max_keypoint_detection
+        frame_id, t, img = handle["frame_id"], handle["t"], handle["img"]
+
+        if handle["first"]:
+            kp, mask = [np.array(a) for a in jax.device_get(
+                (handle["kp_dev"], handle["mask_dev"]))]
             ids = -np.ones(Kmax, np.int64)
             for i in np.nonzero(mask)[0]:
                 ids[i] = self._new_track()
             rf = RawFrame(frame_id, t, kp, mask, ids,
-                          np.asarray(imu_ts), np.asarray(imu_w), np.asarray(imu_a))
+                          np.asarray(handle["imu_ts"]),
+                          np.asarray(handle["imu_w"]),
+                          np.asarray(handle["imu_a"]))
             status_np = np.zeros(Kmax, bool)
         else:
-            prev = self.frames[-1]
-            dq_cam = (self._interframe_camera_rotation(imu_ts, imu_w, prev.t, t)
-                      if cfg.feature_tracker_predict_keypoints
-                      else np.array([1.0, 0, 0, 0]))
-            # ONE batched upload (image + gyro rotation + RNG key data);
-            # the keypoint state stays device-resident between frames.
-            # uint8 images ship as-is (normalized in-graph); anything else
-            # is cast to the engine dtype on host so float64 synthetic
-            # imagery doesn't ship at double width
-            np_dt = np.float32 if self.k.dtype == jnp.float32 else np.float64
-            img_h = np.asarray(img)
-            if img_h.dtype != np.uint8 and img_h.dtype != np_dt:
-                img_h = img_h.astype(np_dt)
-            img_d, dq_d, key_d = jax.device_put(
-                (img_h, np.asarray(dq_cam, np_dt), self._next_key_data()))
-            # fused preprocess + predicted flow + KLT + F-gate + detect +
-            # merge: one device dispatch per frame. Detection is skipped
-            # while the keypoint budget is nearly full (Poisson-disk
-            # suppression would reject every candidate anyway) — the
-            # previous frame's alive count decides which compiled
-            # variant runs, with zero extra device traffic.
-            min_free = int(getattr(cfg, "feature_tracker_detect_min_free", 0))
-            n_prev_alive = int(prev.kp_mask.sum())
-            step = (self.k.frame_step_nodetect
-                    if Kmax - n_prev_alive < min_free else self.k.frame_step)
-            pyr, resp, kp_dev, mask_dev, status, det_mask = step(
-                self.prev_pyramid, self.prev_response, img_d,
-                self._kp_dev, self._mask_dev, dq_d, key_d,
-            )
-            self.prev_response = resp
-            self._kp_dev, self._mask_dev = kp_dev, mask_dev
+            prev = handle["prev"]
             # ONE batched device->host fetch for everything the host
             # bookkeeping needs (per-array pulls each cost a round trip)
             kp, mask, status_np, det_mask = [
                 np.array(a) for a in
-                jax.device_get((kp_dev, mask_dev, status, det_mask))
+                jax.device_get((handle["kp_dev"], handle["mask_dev"],
+                                handle["status"], handle["det_mask"]))
             ]
             ids = np.where(status_np, prev.track_ids, -1)
             for tid in prev.track_ids[prev.kp_mask & ~status_np]:
@@ -163,7 +217,9 @@ class FeatureTracker:
             for tid in ids[mask]:
                 self.track_len[int(tid)] = self.track_len.get(int(tid), 0) + 1
             rf = RawFrame(frame_id, t, kp, mask, ids,
-                          np.asarray(imu_ts), np.asarray(imu_w), np.asarray(imu_a))
+                          np.asarray(handle["imu_ts"]),
+                          np.asarray(handle["imu_w"]),
+                          np.asarray(handle["imu_a"]))
 
         if forensics.enabled:
             # painter snapshot (forensics.h:30-38 ForensicsPainter role):
@@ -178,7 +234,6 @@ class FeatureTracker:
                 "prev_kp": (None if prev_kp is None else prev_kp.copy()),
             })
         self.frames.append(rf)
-        self.prev_pyramid = pyr
         limit = (self.cfg.feature_tracker_max_frames if self.initialized
                  else self.cfg.feature_tracker_max_init_frames)
         while len(self.frames) > limit:

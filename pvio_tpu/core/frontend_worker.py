@@ -35,10 +35,37 @@ class FrontendWorker:
             return self.swt.latest_state
         ok = self.swt.track(raw_frame)
         if not ok:
-            # tracking lost: reset to a fresh initializer
-            self.swt = None
-            self.ft.initialized = False
-            self.initializer = Initializer(self.cfg, self.k)
-            self.n_reinits += 1
+            self._reinit()
             return None
         return self.swt.latest_state
+
+    # -- pipelined variants (the reference's threaded worker handoff,
+    # utility/worker.h:25-78: the tracker runs ahead while the sliding-
+    # window solve of the previous frame completes) --
+    def issue_dispatch(self, raw_frame):
+        """Dispatch the SWT motion step for a tracked frame; returns a
+        pending record for finish_issued, or None on failure (re-init
+        performed). Only valid while initialized."""
+        pend = self.swt.track_dispatch(raw_frame)
+        if pend is None:
+            self._reinit()
+        return pend
+
+    def finish_issued(self, pend):
+        """Complete a previously dispatched SWT step; returns the latest
+        optimized state or None on failure (re-init performed)."""
+        if self.swt is None:
+            return None
+        ok = self.swt.track_finish(pend)
+        if not ok:
+            self._reinit()
+            return None
+        return self.swt.latest_state
+
+    def _reinit(self):
+        """Tracking lost: reset to a fresh initializer
+        (frontend_worker.cpp:71-77)."""
+        self.swt = None
+        self.ft.initialized = False
+        self.initializer = Initializer(self.cfg, self.k)
+        self.n_reinits += 1

@@ -46,22 +46,34 @@ class SlidingWindowTracker:
         """Process one issued frame (sliding_window_tracker.cpp:75-135).
         Returns False on unrecoverable failure (triggers re-init,
         frontend_worker.cpp:71-77)."""
+        pend = self.track_dispatch(raw_new)
+        if pend is None:
+            return False
+        return self.track_finish(pend)
+
+    def track_dispatch(self, raw_new):
+        """First half of track(): host association + the fused motion-step
+        device dispatch, with its device->host copies STARTED but not
+        awaited. Returns a pending record for track_finish, or None on
+        immediate failure. In pipelined mode the host runs the next
+        frame's frontend while this transfer lands (the reference's
+        worker-thread decoupling, utility/worker.h:25-78)."""
         cfg = self.cfg
         hw = self.hw
         tail = hw.n_frames - 1
         raw_tail = self.ft.frame_by_id(int(hw.frame_id[tail]))
         if raw_tail is None:
-            return False  # "SWT cannot catch up" (feature_tracker.cpp:70-75)
+            return None  # "SWT cannot catch up" (feature_tracker.cpp:70-75)
 
         # --- mirror: link tracks between window tail and the new frame ---
         new_obs = self._mirror_frame(raw_tail, raw_new, tail)
         if len(new_obs) < 8:
-            return False
+            return None
 
         # --- fused motion step: preintegrate tail->new + predict + PnP +
         # fresh-track triangulation + keyframe statistic (pnp.cpp:32-100,
         # track.cpp:61-106, sliding_window_tracker.cpp:255-296) — ONE
-        # upload, ONE dispatch, ONE fetch ---
+        # upload, ONE dispatch, ONE (deferred) fetch ---
         dtp = self.k.dtype
         imu_pad = self.k.pad_imu_host(raw_new.imu_ts, raw_new.imu_w, raw_new.imu_a)
         valid = ((hw.track_flags & (TF_VALID | TF_PLANE)) != 0) & hw.track_mask
@@ -90,8 +102,28 @@ class SlidingWindowTracker:
         pnp_out = self.k.pnp_step(
             w_dev, tp, wp, ap, mp, t_new, tail_i, z_obs_d, pnp_mask_d,
             obs_new_d, kf_i)
+        for a in pnp_out:
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        return dict(raw_new=raw_new, pnp_out=pnp_out, new_obs=new_obs,
+                    tri_track_id=tri_track_id, tri_ref_fid=tri_ref_fid,
+                    kf_slots=kf_slots)
+
+    def track_finish(self, pend):
+        """Second half of track(): harvest the motion-step results and run
+        the keyframe/window bookkeeping. Returns False on failure."""
+        cfg = self.cfg
+        hw = self.hw
+        raw_new = pend["raw_new"]
+        new_obs = pend["new_obs"]
+        tri_track_id = pend["tri_track_id"]
+        tri_ref_fid = pend["tri_ref_fid"]
+        kf_slots = pend["kf_slots"]
+        tail = hw.n_frames - 1
         (q1, p1, v1, bg1, ba1, delta_q, tri_inv_d, tri_ok, p80_px,
-         n_common) = [np.array(a) for a in jax.device_get(pnp_out)]
+         n_common) = [np.array(a) for a in jax.device_get(pend["pnp_out"])]
         if not (np.isfinite(q1).all() and np.isfinite(p1).all()):
             return False
 

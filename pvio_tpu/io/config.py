@@ -118,6 +118,14 @@ class Config:
     # to triple window inconsistency during aggressive motion — see
     # BAConfig.plane_supplement)
     plane_supplement: bool = False
+    # latency-hiding host pipeline (reference PVIO_ENABLE_THREADING
+    # worker decoupling, utility/worker.h:25-78, re-expressed as
+    # async device dispatch + deferred harvest): frame k's frontend
+    # computes and streams back while the host processes frame k-1.
+    # Outputs are bit-identical to the sequential loop; the optimized
+    # state lags one extra frame (predict_pose covers the gap at IMU
+    # rate, exactly like the reference's threaded mode).
+    pipelined_host: bool = False
     # estimate plane normal/distance inside the BA solve (3-dof tangent
     # per armed plane in the reduced camera system). The reference holds
     # them constant and hard-refits on the host between solves; joint
