@@ -23,6 +23,7 @@ from pvio_tpu.geometry import nplie
 from pvio_tpu.imu.preintegration import GRAVITY_NOMINAL
 from pvio_tpu.utils.forensics import bus as forensics
 
+import jax
 import jax.numpy as jnp
 
 GRAVITY = np.array([0.0, 0.0, -GRAVITY_NOMINAL])
@@ -77,8 +78,20 @@ class Core:
         # estimator lag; bit-identical outputs (same ops, same order,
         # same inputs — only the host blocking pattern changes).
         self._pipelined = bool(getattr(config, "pipelined_host", False))
-        self._ft_pending = None   # (in-flight frontend handle)
-        self._swt_pending = None  # (in-flight SWT motion-step record)
+        # frontend stage depth: how many frame dispatches may be in
+        # flight before the oldest is harvested. Depth 2 gives each
+        # device->host transfer two inter-frame host intervals to land
+        # (~40 ms on the tunnel). Depth > 1 requires the detect-skip
+        # variant choice to be frame-independent, which holds exactly
+        # when feature_tracker_detect_min_free == 0 (the default): the
+        # choice then never consults the not-yet-harvested alive count,
+        # so outputs stay bit-identical to the sequential loop.
+        depth = int(getattr(config, "pipeline_depth", 2))
+        if int(getattr(config, "feature_tracker_detect_min_free", 0)) > 0:
+            depth = min(depth, 1)
+        self._pipeline_depth = max(depth, 1)
+        self._ft_queue = deque()  # in-flight frontend handles (oldest first)
+        self._swt_pending = None  # in-flight SWT motion-step record
 
     # ------------------------------------------------------------------
     # public sensor entry points (pvio.h:135-148 facade semantics)
@@ -136,50 +149,60 @@ class Core:
                 self._emit_output(state)
             self._last_frame_t = t
             return
-        # pipelined steady state at camera frame k:
-        #   1. finish frontend(k-1)            (transfer landed: ~0 wait)
-        #   2. finish SWT(k-2)                 (transfer landed: ~0 wait)
-        #   3. dispatch SWT(k-1)               (non-blocking)
-        #   4. dispatch frontend(k)            (non-blocking)
+        # pipelined steady state at camera frame k (depth D):
+        #   1. dispatch frontend(k)            (non-blocking)
+        #   2. if D frontends in flight: finish frontend(k-D)
+        #   3. finish SWT(k-D-1)               (transfer landed: ~0 wait)
+        #   4. dispatch SWT(k-D)               (non-blocking)
         # Same operations in the same relative order as the sequential
         # loop — outputs are bit-identical, only the blocking moves.
-        rf_prev = None
-        if self._ft_pending is not None:
-            with forensics.timer("feature_tracker_time"):
-                rf_prev = self.feature_tracker.finish_frame(self._ft_pending)
-            self._ft_pending = None
-        if self._swt_pending is not None:
-            pend, self._swt_pending = self._swt_pending, None
-            state = self.frontend.finish_issued(pend)
+        if self._pipeline_depth == 1 and self._ft_queue:
+            # depth 1 retires BEFORE dispatching so the detect-skip
+            # variant choice sees the immediately-previous frame's alive
+            # count, exactly like the sequential loop
+            self._advance_pipeline()
+        self._ft_queue.append(self.feature_tracker.dispatch_frame(
+            fid, t, image, ts, ws, accs))
+        self._last_frame_t = t
+        if len(self._ft_queue) > self._pipeline_depth:
+            self._advance_pipeline()
+
+    def _advance_pipeline(self):
+        """Retire the oldest in-flight frontend frame and route it
+        through the estimator stage. The frontend-frame results and the
+        pending SWT motion-step results are pulled in ONE device_get:
+        each device_get CALL costs a full tunnel round trip regardless
+        of payload (measured ~14 ms), so the two stages must share one."""
+        handle = self._ft_queue.popleft()
+        pend, self._swt_pending = self._swt_pending, None
+        ft_arrays = self.feature_tracker.handle_arrays(handle)
+        pnp_arrays = pend["pnp_out"] if pend is not None else ()
+        ft_vals, pnp_vals = jax.device_get((ft_arrays, pnp_arrays))
+        with forensics.timer("feature_tracker_time"):
+            rf_prev = self.feature_tracker.finish_frame(handle,
+                                                       fetched=ft_vals)
+        if pend is not None:
+            state = self.frontend.finish_issued(pend, fetched=pnp_vals)
             if state is not None:
                 self._emit_output(state)
-        if rf_prev is not None:
-            if self.frontend.initialized:
-                self._swt_pending = self.frontend.issue_dispatch(rf_prev)
-            else:
-                # re-init happened underneath: route through the
-                # initializer path (sequential until re-initialized)
-                state = self.frontend.issue_frame(rf_prev)
-                if state is not None:
-                    self._emit_output(state)
-        self._ft_pending = self.feature_tracker.dispatch_frame(
-            fid, t, image, ts, ws, accs)
-        self._last_frame_t = t
+        if self.frontend.initialized:
+            self._swt_pending = self.frontend.issue_dispatch(rf_prev)
+        else:
+            # re-init happened underneath: route through the
+            # initializer path (sequential until re-initialized)
+            state = self.frontend.issue_frame(rf_prev)
+            if state is not None:
+                self._emit_output(state)
 
     def flush(self):
         """Drain the host pipeline (end of stream / mode transition):
         completes any in-flight frontend and SWT stages so trajectory
         queries reflect every fed frame."""
+        while self._ft_queue:
+            self._advance_pipeline()
         if self._swt_pending is not None:
             pend, self._swt_pending = self._swt_pending, None
             state = self.frontend.finish_issued(pend)
-            if state is not None:
-                self._emit_output(state)
-        if self._ft_pending is not None:
-            with forensics.timer("feature_tracker_time"):
-                rf = self.feature_tracker.finish_frame(self._ft_pending)
-            self._ft_pending = None
-            state = self.frontend.issue_frame(rf)
             if state is not None:
                 self._emit_output(state)
 

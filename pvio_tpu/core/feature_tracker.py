@@ -137,6 +137,13 @@ class FeatureTracker:
                         imu_ts=imu_ts, imu_w=imu_w, imu_a=imu_a,
                         kp_dev=kp_dev, mask_dev=mask_dev)
 
+        # NOTE: with pipeline depth > 1, frames[-1] is the last FINISHED
+        # frame — possibly two behind the dispatch. That is safe here:
+        # the gyro-rotation helper ignores t_prev (it integrates the
+        # samples handed to it), and the detect-skip choice below is
+        # frame-independent whenever detect_min_free == 0 (Core caps the
+        # depth to 1 otherwise). Track-id bookkeeping resolves its prev
+        # frame at finish time.
         prev = self.frames[-1]
         dq_cam = (self._interframe_camera_rotation(imu_ts, imu_w, prev.t, t)
                   if cfg.feature_tracker_predict_keypoints
@@ -171,21 +178,34 @@ class FeatureTracker:
         self.prev_pyramid = pyr
         _start_host_copy((kp_dev, mask_dev, status, det_mask))
         return dict(first=False, frame_id=frame_id, t=t, img=img,
-                    imu_ts=imu_ts, imu_w=imu_w, imu_a=imu_a, prev=prev,
+                    imu_ts=imu_ts, imu_w=imu_w, imu_a=imu_a,
                     kp_dev=kp_dev, mask_dev=mask_dev, status=status,
                     det_mask=det_mask)
 
-    def finish_frame(self, handle):
+    @staticmethod
+    def handle_arrays(handle):
+        """The device arrays a finish_frame(handle) will fetch — exposed
+        so a caller can batch them into ONE jax.device_get with other
+        stages' results (each device_get CALL costs a full tunnel round
+        trip regardless of payload, measured ~14 ms)."""
+        if handle["first"]:
+            return (handle["kp_dev"], handle["mask_dev"])
+        return (handle["kp_dev"], handle["mask_dev"], handle["status"],
+                handle["det_mask"])
+
+    def finish_frame(self, handle, fetched=None):
         """Harvest a dispatch_frame handle (the async copies have had a
         frame interval to land, so this blocks ~0 in steady state) and
-        run the host bookkeeping; returns the new RawFrame."""
+        run the host bookkeeping; returns the new RawFrame. `fetched`:
+        optional pre-fetched host values of handle_arrays(handle)."""
         cfg = self.cfg
         Kmax = cfg.feature_tracker_max_keypoint_detection
         frame_id, t, img = handle["frame_id"], handle["t"], handle["img"]
+        if fetched is None:
+            fetched = jax.device_get(self.handle_arrays(handle))
 
         if handle["first"]:
-            kp, mask = [np.array(a) for a in jax.device_get(
-                (handle["kp_dev"], handle["mask_dev"]))]
+            kp, mask = [np.array(a) for a in fetched]
             ids = -np.ones(Kmax, np.int64)
             for i in np.nonzero(mask)[0]:
                 ids[i] = self._new_track()
@@ -195,14 +215,8 @@ class FeatureTracker:
                           np.asarray(handle["imu_a"]))
             status_np = np.zeros(Kmax, bool)
         else:
-            prev = handle["prev"]
-            # ONE batched device->host fetch for everything the host
-            # bookkeeping needs (per-array pulls each cost a round trip)
-            kp, mask, status_np, det_mask = [
-                np.array(a) for a in
-                jax.device_get((handle["kp_dev"], handle["mask_dev"],
-                                handle["status"], handle["det_mask"]))
-            ]
+            prev = self.frames[-1]  # the previously FINISHED frame
+            kp, mask, status_np, det_mask = [np.array(a) for a in fetched]
             ids = np.where(status_np, prev.track_ids, -1)
             for tid in prev.track_ids[prev.kp_mask & ~status_np]:
                 self.track_len.pop(int(tid), None)

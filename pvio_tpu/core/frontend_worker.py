@@ -51,12 +51,12 @@ class FrontendWorker:
             self._reinit()
         return pend
 
-    def finish_issued(self, pend):
+    def finish_issued(self, pend, fetched=None):
         """Complete a previously dispatched SWT step; returns the latest
         optimized state or None on failure (re-init performed)."""
         if self.swt is None:
             return None
-        ok = self.swt.track_finish(pend)
+        ok = self.swt.track_finish(pend, fetched=fetched)
         if not ok:
             self._reinit()
             return None

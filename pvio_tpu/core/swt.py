@@ -111,9 +111,11 @@ class SlidingWindowTracker:
                     tri_track_id=tri_track_id, tri_ref_fid=tri_ref_fid,
                     kf_slots=kf_slots)
 
-    def track_finish(self, pend):
+    def track_finish(self, pend, fetched=None):
         """Second half of track(): harvest the motion-step results and run
-        the keyframe/window bookkeeping. Returns False on failure."""
+        the keyframe/window bookkeeping. Returns False on failure.
+        `fetched`: optional pre-fetched host values of pend["pnp_out"]
+        (lets the caller batch the fetch with other stages' results)."""
         cfg = self.cfg
         hw = self.hw
         raw_new = pend["raw_new"]
@@ -122,8 +124,10 @@ class SlidingWindowTracker:
         tri_ref_fid = pend["tri_ref_fid"]
         kf_slots = pend["kf_slots"]
         tail = hw.n_frames - 1
+        if fetched is None:
+            fetched = jax.device_get(pend["pnp_out"])
         (q1, p1, v1, bg1, ba1, delta_q, tri_inv_d, tri_ok, p80_px,
-         n_common) = [np.array(a) for a in jax.device_get(pend["pnp_out"])]
+         n_common) = [np.array(a) for a in fetched]
         if not (np.isfinite(q1).all() and np.isfinite(p1).all()):
             return False
 

@@ -126,6 +126,11 @@ class Config:
     # state lags one extra frame (predict_pose covers the gap at IMU
     # rate, exactly like the reference's threaded mode).
     pipelined_host: bool = False
+    # in-flight frontend frames before the oldest is harvested (depth 2
+    # gives each device->host transfer two inter-frame intervals to
+    # land; capped to 1 when feature_tracker_detect_min_free > 0 to
+    # keep the detect-skip choice bit-identical to sequential)
+    pipeline_depth: int = 2
     # estimate plane normal/distance inside the BA solve (3-dof tangent
     # per armed plane in the reduced camera system). The reference holds
     # them constant and hard-refits on the host between solves; joint

@@ -27,6 +27,7 @@ def run_scene(vio, scene, frame_times=None):
     cfg = vio.config
     n_poses = 0
     fi = 0
+    init_mark = [None]
     for k in range(len(scene.imu_t)):
         t = scene.imu_t[k]
         vio.track_gyroscope(t, *scene.gyro[k])
@@ -42,14 +43,18 @@ def run_scene(vio, scene, frame_times=None):
                 frame_times.append(time.perf_counter() - t0)
             if pose is not None:
                 n_poses += 1
+            if init_mark[0] is None and vio.initialized:
+                init_mark[0] = fi
             fi += 1
-    return n_poses, fi
+    return n_poses, fi, init_mark[0]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--sequential", action="store_true",
+                    help="disable the pipelined host loop")
     ap.add_argument("--duration", type=float, default=6.0)
     args = ap.parse_args()
 
@@ -66,13 +71,15 @@ def main():
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     cfg = synthetic.pipeline_config()
+    cfg.pipelined_host = not args.sequential
     if args.no_planes:
         cfg.enable_plane_constraint = False
     scene = synthetic.make_scene(duration=args.duration, n_points=320)
     vio = PVIO(cfg)
 
     t0 = time.perf_counter()
-    n_poses, n_frames = run_scene(vio, scene)
+    n_poses, n_frames, _ = run_scene(vio, scene)
+    vio.finish()
     warm = time.perf_counter() - t0
     print(f"warm-up run: {n_frames} frames, {n_poses} poses, {warm:.1f}s "
           f"(includes every compile)", file=sys.stderr)
@@ -80,7 +87,8 @@ def main():
     vio.reset()
     ft = []
     t0 = time.perf_counter()
-    n_poses, n_frames = run_scene(vio, scene, frame_times=ft)
+    n_poses, n_frames, init_fi = run_scene(vio, scene, frame_times=ft)
+    vio.finish()
     wall = time.perf_counter() - t0
     ft = np.array(ft)
     fps = n_frames / wall
@@ -88,6 +96,12 @@ def main():
           f"({n_poses} poses)")
     print(f"track_camera per-frame ms: p50 {np.percentile(ft, 50)*1e3:.1f}  "
           f"p90 {np.percentile(ft, 90)*1e3:.1f}  max {ft.max()*1e3:.1f}")
+    if init_fi is not None and init_fi + 5 < len(ft):
+        post = ft[init_fi + 1:]
+        print(f"post-init steady state ({len(post)} frames, after frame "
+              f"{init_fi}): {1.0/post.mean():.1f} fps, p50 "
+              f"{np.percentile(post, 50)*1e3:.1f} ms, p90 "
+              f"{np.percentile(post, 90)*1e3:.1f} ms")
     print("forensics (rolling avg):",
           {k: round(v, 4) for k, v in bus.summary().items()
            if isinstance(v, float)})
