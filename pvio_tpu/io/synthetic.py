@@ -97,12 +97,15 @@ class SyntheticScene(NamedTuple):
     plane_distances: np.ndarray  # (P,)
 
 
-def _traj_pose(t, span=5.0):
+def _traj_pose(t, span=5.0, traj_scale=1.0):
     """Smooth analytic trajectory: oval + yaw sweep + gentle roll, with
     enough acceleration excitation (~2-3 m/s^2) for scale/gravity
-    observability during initialization."""
+    observability during initialization. traj_scale shrinks the spatial
+    sweep (rotations unchanged) — at <= 0.6 the initialization baseline
+    stays under 1 m, inside the reference's production scale sanity gate
+    (initializer.cpp:216,221)."""
     w = 2 * np.pi / span
-    p = np.stack(
+    p = traj_scale * np.stack(
         [1.2 * np.sin(w * t), 0.8 * np.sin(2 * w * t), 0.25 * np.sin(w * t + 0.4)],
         axis=-1,
     )
@@ -126,6 +129,7 @@ def make_scene(
     accel_noise=0.0,
     bg=(0.0, 0.0, 0.0),
     ba=(0.0, 0.0, 0.0),
+    traj_scale=1.0,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     assert imu_rate % fps == 0, "frame times must align with the IMU grid"
@@ -138,19 +142,22 @@ def make_scene(
     # Sample ideal gyro/accel from the analytic trajectory...
     h = 1e-4
 
+    def _tp(t):
+        return _traj_pose(t, traj_scale=traj_scale)
+
     def vel(t):
-        _, pp = _traj_pose(t + h)
-        _, pm = _traj_pose(t - h)
+        _, pp = _tp(t + h)
+        _, pm = _tp(t - h)
         return (pp - pm) / (2 * h)
 
     def acc(t):
-        _, pp = _traj_pose(t + h)
-        _, p0 = _traj_pose(t)
-        _, pm = _traj_pose(t - h)
+        _, pp = _tp(t + h)
+        _, p0 = _tp(t)
+        _, pm = _tp(t - h)
         return (pp - 2 * p0 + pm) / (h * h)
 
-    q_i, _ = _traj_pose(imu_t)
-    q_ip, _ = _traj_pose(imu_t + h)
+    q_i, _ = _tp(imu_t)
+    q_ip, _ = _tp(imu_t + h)
     # body angular rate: omega = logmap(q(t)^-1 q(t+h)) / h
     dq = _np_quat_mul(_np_quat_conj(q_i), q_ip)
     omega = _np_logmap(dq) / h
@@ -170,7 +177,7 @@ def make_scene(
     q_all = np.zeros((len(imu_t), 4))
     p_all = np.zeros((len(imu_t), 3))
     v_all = np.zeros((len(imu_t), 3))
-    q0, p0 = _traj_pose(np.array([0.0]))
+    q0, p0 = _tp(np.array([0.0]))
     q_all[0] = q0[0]
     p_all[0] = p0[0]
     v_all[0] = vel(np.array([0.0]))[0]

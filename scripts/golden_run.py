@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--no-planes", action="store_true")
     ap.add_argument("--seed", type=int, default=648)
+    ap.add_argument("--traj-scale", type=float, default=1.0,
+                    help="spatial sweep scale; <= 0.6 keeps the init "
+                         "baseline under the reference scale gate")
+    ap.add_argument("--max-scale", type=float, default=5.0,
+                    help="initializer_max_scale override (1.0 = the "
+                         "reference production gate, initializer.cpp:216)")
     ap.add_argument("--imu-noise", type=float, default=0.0,
                     help="gyro/accel noise scale (0 = ideal IMU)")
     ap.add_argument("--cauchy", type=float, default=None,
@@ -68,7 +74,7 @@ def main():
 
     cfg = Config.from_yaml(args.config)
     cfg.dtype = args.dtype
-    cfg.initializer_max_scale = 5.0   # synthetic rig: >1 m init baseline
+    cfg.initializer_max_scale = args.max_scale
     if "tum" in args.config:
         cfg.image_size = (512, 512)
     if args.no_planes:
@@ -87,7 +93,7 @@ def main():
 
     scene = synthetic.make_scene(
         duration=args.duration, fps=args.fps, imu_rate=200.0,
-        n_points=8, seed=args.seed,
+        n_points=8, seed=args.seed, traj_scale=args.traj_scale,
         gyro_noise=1e-3 * args.imu_noise, accel_noise=1e-2 * args.imu_noise,
     )
     und = ImageUndistorter(cfg.K, cfg.camera_distortion,
