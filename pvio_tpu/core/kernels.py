@@ -58,6 +58,7 @@ def _kernel_cache_key(config):
         bool(getattr(config, "plane_estimate_in_solver", True)),
         bool(getattr(config, "plane_supplement", False)),
         bool(getattr(config, "pnp_use_plane_points", True)),
+        bool(getattr(config, "preint_assoc", True)),
         h(config.K), h(config.q_bc), h(config.p_bc),
         h(config.q_bi), h(config.p_bi),
         h(config.imu_cov_g), h(config.imu_cov_a),
@@ -129,6 +130,16 @@ class DeviceKernels:
     def _build(self):
         cfg = self.cfg
         dtype = self.dtype
+        # associative (log-depth tree) preintegration is the TPU-fast
+        # path; the sequential scan is the fallback for backends whose
+        # compiler mishandles the tree's batched small dots (XLA CPU
+        # 0.9.0 aborts in algebraic_simplifier when a third batch dim —
+        # vmapped multi-sequence — is added; docs/xla_cpu_segfault.md)
+        _assoc = bool(getattr(cfg, "preint_assoc", True))
+
+        def _preintegrate(*args, **kw):
+            kw.setdefault("assoc", _assoc)
+            return pre.preintegrate(*args, **kw)
         extr = self.extr
         K = self.K
         # 3 pyramid images (full, /2, /4): the gyro-predicted initial
@@ -293,7 +304,7 @@ class DeviceKernels:
             """Batched per-frame preintegration (F, N) -> deltas at slot j
             spanning frame j-1 -> j, linearized at frame j-1's bias."""
             return jax.vmap(
-                lambda t_, w_, a_, m_, tt, bg, ba_: pre.preintegrate(
+                lambda t_, w_, a_, m_, tt, bg, ba_: _preintegrate(
                     t_, w_, a_, m_, tt, bg, ba_, self.noise
                 )
             )(ts, ws, accs, mask, t_target, bg_prev, ba_prev)
@@ -425,7 +436,7 @@ class DeviceKernels:
             tail_v = w.v[tail_idx]
             tail_bg = w.bg[tail_idx]
             tail_ba = w.ba[tail_idx]
-            delta = pre.preintegrate(tp, wp, ap, mp, t_new, tail_bg, tail_ba,
+            delta = _preintegrate(tp, wp, ap, mp, t_new, tail_bg, tail_ba,
                                      self.noise)
             q0, p0, v0, bg0, ba0 = pre.predict(
                 delta, tail_q, tail_p, tail_v, tail_bg, tail_ba)
@@ -561,7 +572,7 @@ class DeviceKernels:
     def _integrate_one(self):
         if not hasattr(self, "_integrate_one_jit"):
             self._integrate_one_jit = jax.jit(
-                lambda t_, w_, a_, m_, tt, bg, ba_: pre.preintegrate(
+                lambda t_, w_, a_, m_, tt, bg, ba_: _preintegrate(
                     t_, w_, a_, m_, tt, bg, ba_, self.noise
                 )
             )

@@ -131,6 +131,10 @@ class Config:
     # land; capped to 1 when feature_tracker_detect_min_free > 0 to
     # keep the detect-skip choice bit-identical to sequential)
     pipeline_depth: int = 2
+    # associative tree preintegration (TPU-fast); False = sequential
+    # scan (same math; fallback for compilers that mishandle the tree's
+    # triple-batched small dots — XLA CPU 0.9.0, docs/xla_cpu_segfault.md)
+    preint_assoc: bool = True
     # estimate plane normal/distance inside the BA solve (3-dof tangent
     # per armed plane in the reduced camera system). The reference holds
     # them constant and hard-refits on the host between solves; joint
