@@ -134,6 +134,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="fewer timed reps")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--kf-every", type=int, default=4,
+                    help="keyframe cadence of the modeled steady state "
+                         "(golden runs measure every 2-6 frames)")
     args = ap.parse_args()
 
     import jax
@@ -156,8 +159,8 @@ def main():
     kern = DeviceKernels.get(cfg)
     dtype = kern.dtype
 
-    groups = 3 if args.quick else 12      # frames = 4 * groups per call
-    KF_EVERY = 4
+    KF_EVERY = args.kf_every
+    groups = 3 if args.quick else 48 // KF_EVERY  # ~48 frames per call
     n_chain = groups * KF_EVERY
 
     w, host = _build_pipeline_inputs(cfg, dtype, n_chain)
