@@ -20,6 +20,9 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="latency-hiding host pipeline (one frame of "
+                         "estimator lag; bit-identical outputs)")
     ap.add_argument("--plot", default=None, metavar="PNG",
                     help="render the forensics dashboard to this file")
     ap.add_argument("--overlay-dir", default=None, metavar="DIR",
@@ -49,6 +52,7 @@ def main(argv=None):
     from pvio_tpu.utils.forensics import bus
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
+    cfg.pipelined_host = bool(args.pipelined)
     if args.no_planes:
         cfg.enable_plane_constraint = False
 
