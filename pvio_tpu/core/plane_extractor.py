@@ -27,6 +27,8 @@ promote_pending on the NEXT keyframe) — asynchronous with respect to the
 solver like the reference worker, but deterministic.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +59,16 @@ def _refine_plane_pca_np(points, inlier_mask):
     return n, dist, c
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_find_plane(threshold):
+    """Module-level jit cache keyed by threshold: a per-instance
+    jax.jit(lambda ...) re-traces and RE-COMPILES on every engine
+    reset / new PlaneExtractor (measured 100-230 ms spikes riding the
+    keyframe path) — new lambdas never share jit caches."""
+    return jax.jit(lambda key, pts, mask: ransac_mod.find_plane(
+        key, pts, mask, threshold=threshold))
+
+
 class PlaneExtractor:
     def __init__(self, config, kernels):
         self.cfg = config
@@ -69,15 +81,10 @@ class PlaneExtractor:
         # life >= 10 gate (plane_extractor.cpp:47); config knob so short
         # synthetic test scenes can lower it without silent deviations
         self.min_track_life = int(getattr(config, "plane_min_track_life", 10))
-        self._find_plane = jax.jit(
-            lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask, threshold=thr)
-        )
+        self._find_plane = _jitted_find_plane(thr)
         # refit RANSAC is looser than detection (0.05 vs 0.03,
         # plane.cpp:76 vs plane_extractor.cpp:56)
-        self._refit_plane = jax.jit(
-            lambda key, pts, mask: ransac_mod.find_plane(key, pts, mask,
-                                                         threshold=0.05)
-        )
+        self._refit_plane = _jitted_find_plane(0.05)
         self._pending = None  # in-flight async detection (issue_detection)
 
     def _next_key(self):
