@@ -535,6 +535,53 @@ class DeviceKernels:
 
         self.marg_step = jax.jit(marg_step)
 
+        def kf_step(w, ts, ws, accs, mask, t_frames,
+                    ts2, ws2, accs2, mask2, t_frames2,
+                    nf_q, nf_p, nf_v, nf_bg, nf_ba,
+                    nf_kp, nf_obs, tri_depth, tri_mask,
+                    track_life, slot, make_prior, do_marg):
+            """The WHOLE keyframe as ONE dispatch + ONE fetch
+            (Config.fused_keyframe): marginalize the oldest frame,
+            splice the new keyframe into the freed slot, adopt the fused
+            motion-step triangulations, then the full ba_step body. The
+            separate marg_step/ba_step path costs two device round trips
+            per keyframe (~28 ms each on the tunnel) plus an
+            intermediate host mirror; here the host replays its index
+            bookkeeping while the device computes.
+
+            (ts..t_frames): per-frame IMU grids in the PRE-marg slot
+            layout (the marginalization factor needs the victim frame's
+            delta); (ts2..t_frames2): grids in the POST-append layout
+            for the BA. nf_*: the new frame's state (from the motion
+            step) and observations. tri_depth/tri_mask: the
+            _apply_triangulation adoption, guards host-computed."""
+            if do_marg:
+                w = attach_deltas(w, ts, ws, accs, mask, t_frames)
+                w = marginalize0(w)
+            # splice the new keyframe (Map::put_frame role)
+            w = w._replace(
+                q=w.q.at[slot].set(nf_q), p=w.p.at[slot].set(nf_p),
+                v=w.v.at[slot].set(nf_v), bg=w.bg.at[slot].set(nf_bg),
+                ba=w.ba.at[slot].set(nf_ba),
+                frame_mask=w.frame_mask.at[slot].set(True),
+                fix_mask=w.fix_mask.at[slot].set(False),
+                kp=w.kp.at[slot].set(
+                    jnp.where(nf_obs[:, None], nf_kp, w.kp[slot])),
+                obs_mask=w.obs_mask.at[slot].set(nf_obs),
+            )
+            # fused-fetch triangulation adoption (the sequential path's
+            # _apply_triangulation; guards already folded into tri_mask)
+            w = w._replace(
+                inv_depth=jnp.where(tri_mask, tri_depth, w.inv_depth),
+                track_flags=jnp.where(tri_mask,
+                                      w.track_flags | win.TF_VALID,
+                                      w.track_flags),
+            )
+            return ba_step(w, ts2, ws2, accs2, mask2, t_frames2,
+                           track_life, make_prior)
+
+        self.kf_step = jax.jit(kf_step, static_argnums=(22, 23))
+
         # keyframe parallax gating is done on host with numpy (tiny math,
         # sliding_window_tracker.cpp:262-283)
 

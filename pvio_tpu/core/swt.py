@@ -136,7 +136,13 @@ class SlidingWindowTracker:
             bool(len(kf_slots) == 0), float(p80_px), int(n_common))
 
         tail_was_keyframe = bool(hw.keyframe[tail])
-        if tail_was_keyframe:
+        if (tail_was_keyframe
+                and bool(getattr(cfg, "fused_keyframe", False))
+                and hw.n_frames <= cfg.window_frame_capacity):
+            self._keyframe_fused(raw_new, new_obs, q1, p1, v1, bg1, ba1,
+                                 tri_inv_d, tri_ok, tri_track_id,
+                                 tri_ref_fid, is_keyframe)
+        elif tail_was_keyframe:
             # marginalize oldest while full, then append (:90-113)
             while hw.n_frames >= cfg.window_frame_capacity:
                 self._marginalize_oldest()
@@ -172,30 +178,7 @@ class SlidingWindowTracker:
                 w, extra=(info, xw_dev, tri_dev, pend_dev))
             if self.planes is not None:
                 self.planes.store_pending_result(pend_h)
-            forensics.set("solver_info", {k_: float(v) for k_, v in info.items()})
-            forensics.set("sliding_window_landmarks",
-                          int(((hw.track_flags & (TF_VALID | TF_PLANE)) != 0).sum()))
-            forensics.set("sliding_window_planes", int(hw.plane_mask.sum()))
-            # full-state emission for host visualizers
-            # (sliding_window_tracker.cpp:138-245 emits landmark clouds,
-            # plane states and keyframe poses into forensics slots)
-            if forensics.enabled:
-                live = hw.track_mask & (
-                    (hw.track_flags & (TF_VALID | TF_PLANE)) != 0)
-                forensics.set("sliding_window_landmark_points",
-                              np.asarray(xw)[live])
-                forensics.set(
-                    "sliding_window_keyframe_poses",
-                    [(float(hw.frame_t[i]), hw.q[i].copy(), hw.p[i].copy())
-                     for i in range(hw.n_frames)],
-                )
-                forensics.set(
-                    "sliding_window_plane_states",
-                    [(hw.plane_normal[j].copy(), float(hw.plane_distance[j]))
-                     for j in np.nonzero(hw.plane_mask)[0]],
-                )
-                forensics.set("imu_bias_gyroscope", hw.bg[hw.n_frames - 1].copy())
-                forensics.set("imu_bias_accelerometer", hw.ba[hw.n_frames - 1].copy())
+            self._emit_solver_forensics(info, xw)
         else:
             # replace tail: merge the IMU span (:115-121)
             merged_ts = np.concatenate([hw.imu_ts[tail], raw_new.imu_ts])
@@ -233,6 +216,138 @@ class SlidingWindowTracker:
 
         self.latest_state = self._state_of(hw.n_frames - 1)
         return True
+
+    # ------------------------------------------------------------------
+    def _emit_solver_forensics(self, info, xw):
+        """Full-state emission for host visualizers
+        (sliding_window_tracker.cpp:138-245 emits landmark clouds, plane
+        states and keyframe poses into forensics slots)."""
+        hw = self.hw
+        forensics.set("solver_info", {k_: float(v) for k_, v in info.items()})
+        forensics.set("sliding_window_landmarks",
+                      int(((hw.track_flags & (TF_VALID | TF_PLANE)) != 0).sum()))
+        forensics.set("sliding_window_planes", int(hw.plane_mask.sum()))
+        if forensics.enabled:
+            live = hw.track_mask & (
+                (hw.track_flags & (TF_VALID | TF_PLANE)) != 0)
+            forensics.set("sliding_window_landmark_points",
+                          np.asarray(xw)[live])
+            forensics.set(
+                "sliding_window_keyframe_poses",
+                [(float(hw.frame_t[i]), hw.q[i].copy(), hw.p[i].copy())
+                 for i in range(hw.n_frames)],
+            )
+            forensics.set(
+                "sliding_window_plane_states",
+                [(hw.plane_normal[j].copy(), float(hw.plane_distance[j]))
+                 for j in np.nonzero(hw.plane_mask)[0]],
+            )
+            forensics.set("imu_bias_gyroscope", hw.bg[hw.n_frames - 1].copy())
+            forensics.set("imu_bias_accelerometer", hw.ba[hw.n_frames - 1].copy())
+
+    def _keyframe_fused(self, raw_new, new_obs, q1, p1, v1, bg1, ba1,
+                        tri_inv_d, tri_ok, tri_track_id, tri_ref_fid,
+                        is_keyframe):
+        """The whole keyframe (marginalize + append + plane bookkeeping +
+        BA) with ONE device dispatch and ONE fetch (Config.fused_keyframe;
+        kernels.kf_step). The separate marg_step/ba_step path costs two
+        device round trips per keyframe plus an intermediate host mirror.
+
+        Documented deviations from the sequential path (why this is an
+        opt-in performance mode, not the default):
+        - plane promote/extend run on the PRE-marginalization window
+          (they see the to-be-dropped oldest frame and pre-rebase
+          depths — all currently-valid values, one frame earlier than
+          the reference's marginalize->update_map->extend order);
+        - triangulation adoptions whose reference frame is the victim
+          are skipped for one frame (the in-kernel rebase would move
+          their reference; they re-triangulate next frame)."""
+        cfg, hw = self.cfg, self.hw
+        do_marg = hw.n_frames >= cfg.window_frame_capacity
+        slot = (cfg.window_frame_capacity - 1) if do_marg else hw.n_frames
+
+        pend_dev = None
+        if self.planes is not None:
+            self.planes.promote_pending(hw)
+            self.planes.extend_planes(hw)
+
+        dt_np = hw.dtype
+        nf_kp = np.zeros((hw.T, 2), dt_np)
+        nf_obs = np.zeros(hw.T, bool)
+        for col, z in new_obs:
+            nf_kp[col] = z
+            nf_obs[col] = True
+
+        # _apply_triangulation guards, host-computed for the FINAL topology
+        obs_alive = hw.obs_mask & hw.frame_mask[:, None]
+        obs_surv = (obs_alive[1:] if do_marg else obs_alive).sum(axis=0)
+        n_obs_final = obs_surv + nf_obs
+        unchanged = (hw.track_id == tri_track_id) & (
+            hw.frame_id[hw.ref_frame] == tri_ref_fid)
+        tri_mask = (hw.track_mask & tri_ok.astype(bool) & (n_obs_final >= 2)
+                    & unchanged
+                    & ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0))
+        if do_marg:
+            tri_mask &= hw.ref_frame != 0
+
+        life2 = (hw.track_life + nf_obs.astype(np.int32)).astype(np.int32)
+        ops1 = self._imu_ops_host()
+        ops2 = self._imu_ops_post_append(do_marg, raw_new)
+        make_prior = not hw.prior_valid
+
+        w, ops = hw.to_device(extra=ops1 + ops2 + (
+            np.asarray(q1, dt_np), np.asarray(p1, dt_np),
+            np.asarray(v1, dt_np), np.asarray(bg1, dt_np),
+            np.asarray(ba1, dt_np),
+            nf_kp, nf_obs, np.asarray(tri_inv_d, dt_np), tri_mask,
+            life2, np.int32(slot)))
+        if self.planes is not None:
+            pend_dev = self.planes.issue_detection(hw)
+        with forensics.timer("bundle_adjustor_solve_time"):
+            w_out, info, xw_dev, tri_dev = self.k.kf_step(
+                w, *ops, make_prior, do_marg)
+        # FETCH FIRST: jax.device_put may alias the host numpy buffers
+        # (zero-copy on the CPU backend), so the host must not mutate
+        # its mirrors while the fused computation is in flight — the
+        # replay racing the async kernel corrupted solves
+        # nondeterministically. The fetch synchronizes and refreshes
+        # every mirrored value (including the spliced frame and the
+        # compacted slots); only host-only index fields remain.
+        info, xw, self._fresh_tri, pend_h = hw.from_device(
+            w_out, extra=(info, xw_dev, tri_dev, pend_dev))
+        if do_marg:
+            hw.shift_after_marginalize(0)
+        hw.frame_id[slot] = raw_new.id
+        hw.frame_t[slot] = raw_new.t
+        hw.keyframe[slot] = is_keyframe
+        hw.imu_ts[slot] = np.asarray(raw_new.imu_ts, np.float64)
+        hw.imu_w[slot] = np.asarray(raw_new.imu_w)
+        hw.imu_a[slot] = np.asarray(raw_new.imu_a)
+        hw.track_life = life2
+        hw.prior_valid = True
+        if do_marg:
+            hw._refresh_track_columns()
+        if self.planes is not None:
+            self.planes.store_pending_result(pend_h)
+        self._emit_solver_forensics(info, xw)
+
+    def _imu_ops_post_append(self, do_marg, raw_new):
+        """IMU grids in the POST-(marginalize+append) slot layout,
+        built WITHOUT mutating the window (the fused keyframe step needs
+        both layouts in one upload)."""
+        hw = self.hw
+        n = hw.n_frames
+        ts_l = [hw.imu_ts[i] for i in range(n)]
+        w_l = [hw.imu_w[i] for i in range(n)]
+        a_l = [hw.imu_a[i] for i in range(n)]
+        t_l = [hw.frame_t[i] for i in range(n)]
+        if do_marg:
+            ts_l, w_l, a_l, t_l = ts_l[1:], w_l[1:], a_l[1:], t_l[1:]
+        ts_l.append(np.asarray(raw_new.imu_ts))
+        w_l.append(np.asarray(raw_new.imu_w))
+        a_l.append(np.asarray(raw_new.imu_a))
+        t_l.append(raw_new.t)
+        return self._imu_ops_from(ts_l, w_l, a_l, t_l)
 
     # ------------------------------------------------------------------
     def _mirror_frame(self, raw_prev, raw_new, prev_slot):
@@ -330,6 +445,12 @@ class SlidingWindowTracker:
         (round-2 behavior) silently shrank the preintegration interval
         of merged spans, which walked the bias estimates and caused the
         long-run scale drift."""
+        return self._imu_ops_from(
+            self.hw.imu_ts, self.hw.imu_w, self.hw.imu_a, self.hw.frame_t)
+
+    def _imu_ops_from(self, ts_list, w_list, a_list, frame_t):
+        """Grid-building core of _imu_ops_host over explicit span lists
+        (any slot layout; entries beyond the list are empty)."""
         from pvio_tpu.imu.preintegration import fit_span
 
         F = self.hw.F
@@ -338,12 +459,14 @@ class SlidingWindowTracker:
         ws = np.zeros((F, N, 3))
         accs = np.zeros((F, N, 3))
         mask = np.zeros((F, N), bool)
-        for j in range(F):
-            if self.hw.imu_ts[j] is None or len(self.hw.imu_ts[j]) == 0:
+        t_frames = np.zeros(F)
+        t_frames[: min(len(frame_t), F)] = np.asarray(frame_t)[:F]
+        for j in range(min(len(ts_list), F)):
+            if ts_list[j] is None or len(ts_list[j]) == 0:
                 continue
-            tj, wj, aj = self.hw.imu_ts[j], self.hw.imu_w[j], self.hw.imu_a[j]
+            tj, wj, aj = ts_list[j], w_list[j], a_list[j]
             if len(tj) > N:
-                tj, wj, aj = fit_span(tj, wj, aj, self.hw.frame_t[j], N)
+                tj, wj, aj = fit_span(tj, wj, aj, t_frames[j], N)
             n = len(tj)
             ts[j, :n] = tj
             ws[j, :n] = wj
@@ -351,7 +474,7 @@ class SlidingWindowTracker:
             mask[j, :n] = True
         dt = np.float32 if self.k.dtype == jnp.float32 else np.float64
         return (ts.astype(dt), ws.astype(dt), accs.astype(dt),
-                mask, self.hw.frame_t.astype(dt))
+                mask, t_frames.astype(dt))
 
     def _marginalize_oldest(self):
         """Fused: attach deltas + Schur-eliminate frame 0 into the prior +

@@ -135,6 +135,13 @@ class Config:
     # scan (same math; fallback for compilers that mishandle the tree's
     # triple-batched small dots — XLA CPU 0.9.0, docs/xla_cpu_segfault.md)
     preint_assoc: bool = True
+    # fuse the whole keyframe (marginalize + append + BA) into ONE
+    # device dispatch + ONE fetch (kernels.kf_step) instead of separate
+    # marg_step/ba_step round trips. Opt-in performance mode for
+    # high-latency links: plane promote/extend run on the
+    # pre-marginalization window and victim-referenced triangulation
+    # adoptions defer one frame (see swt._keyframe_fused docstring).
+    fused_keyframe: bool = False
     # estimate plane normal/distance inside the BA solve (3-dof tangent
     # per armed plane in the reduced camera system). The reference holds
     # them constant and hard-refits on the host between solves; joint

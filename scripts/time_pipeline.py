@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--no-planes", action="store_true")
     ap.add_argument("--sequential", action="store_true",
                     help="disable the pipelined host loop")
+    ap.add_argument("--fused-kf", action="store_true",
+                    help="fuse marginalize+append+BA into one keyframe dispatch")
     ap.add_argument("--duration", type=float, default=6.0)
     args = ap.parse_args()
 
@@ -72,6 +74,7 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     cfg = synthetic.pipeline_config()
     cfg.pipelined_host = not args.sequential
+    cfg.fused_keyframe = bool(args.fused_kf)
     if args.no_planes:
         cfg.enable_plane_constraint = False
     scene = synthetic.make_scene(duration=args.duration, n_points=320)

@@ -188,3 +188,31 @@ def test_tracking_loss_reinit_and_recovery():
     assert post_recovery_poses >= 20
     st = vio.get_latest_state()
     assert st is not None and np.isfinite(st.p).all()
+
+
+@pytest.mark.slow
+def test_fused_keyframe_pipeline():
+    """Config.fused_keyframe: the whole keyframe (marginalize + append +
+    BA) as ONE device dispatch + ONE fetch (kernels.kf_step). Must
+    initialize, never re-init, and reach accuracy comparable to the
+    separate marg_step/ba_step path (documented deviations: plane
+    bookkeeping on the pre-marg window; victim-referenced triangulation
+    adoptions defer one frame)."""
+    from pvio_tpu.core.frontend_worker import FrontendWorker
+    from pvio_tpu.core.kernels import DeviceKernels
+    from pvio_tpu.io import synthetic as syn
+
+    def run(fused):
+        cfg = small_config()
+        cfg.fused_keyframe = fused
+        scene = syn.make_scene(duration=3.0, fps=20.0, imu_rate=200.0,
+                               n_points=320, seed=648)
+        fw, outputs = run_oracle(cfg, scene, kp_noise_px=0.3)
+        assert fw.initialized and fw.n_reinits == 0
+        ate, scale = ate_of(outputs, scene)
+        return ate, len(outputs)
+
+    ate_std, n_std = run(False)
+    ate_fused, n_fused = run(True)
+    assert n_fused == n_std
+    assert ate_fused < max(2.0 * ate_std, 0.15), (ate_fused, ate_std)
