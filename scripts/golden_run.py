@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--no-planes", action="store_true")
+    ap.add_argument("--supplement", action="store_true",
+                    help="keep member reprojection factors alongside the "
+                         "plane factor (Config.plane_supplement)")
     ap.add_argument("--seed", type=int, default=648)
     ap.add_argument("--traj-scale", type=float, default=1.0,
                     help="spatial sweep scale; <= 0.6 keeps the init "
@@ -79,6 +82,8 @@ def main():
         cfg.image_size = (512, 512)
     if args.no_planes:
         cfg.enable_plane_constraint = False
+    if args.supplement:
+        cfg.plane_supplement = True
     if args.cauchy is not None:
         cfg.cauchy_scale = args.cauchy
     if args.fb is not None:
