@@ -572,9 +572,14 @@ class PlaneExtractor:
                     # drifts — poisoning the per-frame PnP that uses
                     # them as fixed points. In supplement mode the BA
                     # owns member depths; overwriting them with fresh
-                    # triangulations would discard the solve.
+                    # triangulations would discard the solve. Only the
+                    # MAD inliers of the refit are refreshed: a member
+                    # whose fresh triangulation just scattered off-plane
+                    # keeps its stale-but-good stored depth (mirrors the
+                    # escape path's never-overwrite-with-junk guard,
+                    # estimation/ba.plane_track_escape).
                     if not bool(getattr(self.cfg, "plane_supplement", False)):
-                        upd = np.nonzero(mf)[0]
+                        upd = np.nonzero(mf)[0][inl_loc]
                         hw.inv_depth[upd] = inv_d[upd]
                 # the host maintains the polar extent from member points
                 if members.sum() >= 3:

@@ -29,6 +29,7 @@ class SlidingWindowTracker:
         self.ft = feature_tracker
         self.planes = plane_extractor
         self.skipped_frames = 0
+        self.n_keyframes = 0    # keyframe decisions made (test observability)
         self._fresh_tri = None  # post-solve triangulations from ba_step
         # (t, q, p, v, bg, ba) of the newest optimized frame, for predict_pose
         tail = self.hw.n_frames - 1
@@ -134,6 +135,8 @@ class SlidingWindowTracker:
         # --- keyframe check (:255-296); statistics computed in-graph ---
         is_keyframe = self._keyframe_check(
             bool(len(kf_slots) == 0), float(p80_px), int(n_common))
+        if is_keyframe:
+            self.n_keyframes += 1
 
         tail_was_keyframe = bool(hw.keyframe[tail])
         if (tail_was_keyframe

@@ -97,21 +97,51 @@ class SyntheticScene(NamedTuple):
     plane_distances: np.ndarray  # (P,)
 
 
-def _traj_pose(t, span=5.0, traj_scale=1.0):
+def _smoothstep(x):
+    x = np.clip(x, 0.0, 1.0)
+    return x * x * (3.0 - 2.0 * x)
+
+
+def _traj_pose(t, span=5.0, traj_scale=1.0, init_ramp=0.0,
+               long_profile=False):
     """Smooth analytic trajectory: oval + yaw sweep + gentle roll, with
     enough acceleration excitation (~2-3 m/s^2) for scale/gravity
     observability during initialization. traj_scale shrinks the spatial
     sweep (rotations unchanged) — at <= 0.6 the initialization baseline
     stays under 1 m, inside the reference's production scale sanity gate
-    (initializer.cpp:216,221)."""
+    (initializer.cpp:216,221).
+
+    init_ramp > 0: multiply the spatial sweep by a smooth envelope that
+    starts at `init_ramp` and reaches 1.0 at t = 4 s — the init-window
+    baseline stays under the reference's <1 m scale gate WITHOUT
+    shrinking the whole trajectory (the production-gate alternative to
+    traj_scale).
+
+    long_profile: superimpose slow incommensurate center drift (the
+    base oval revisits displaced loops instead of retracing itself) and
+    an aggressive yaw/pitch oscillation burst around t = 25-35 s — the
+    loop + hard-segment structure of a 60+ s EuRoC-style sequence."""
+    t = np.asarray(t, np.float64)
     w = 2 * np.pi / span
-    p = traj_scale * np.stack(
+    p = np.stack(
         [1.2 * np.sin(w * t), 0.8 * np.sin(2 * w * t), 0.25 * np.sin(w * t + 0.4)],
         axis=-1,
     )
     yaw = 0.5 * np.sin(w * t)
     pitch = 0.12 * np.sin(2 * w * t + 0.3)
     roll = 0.10 * np.sin(w * t + 1.1)
+    if long_profile:
+        p = p + np.stack(
+            [0.8 * np.sin(2 * np.pi * t / 37.0),
+             0.6 * np.sin(2 * np.pi * t / 53.0),
+             0.12 * np.sin(2 * np.pi * t / 23.0)], axis=-1)
+        agg = _smoothstep((t - 25.0) / 3.0) * _smoothstep((35.0 - t) / 3.0)
+        yaw = yaw + 0.6 * agg * np.sin(2 * np.pi * t / 3.5)
+        pitch = pitch + 0.15 * agg * np.sin(2 * np.pi * t / 2.3 + 0.7)
+    if init_ramp > 0.0:
+        env = init_ramp + (1.0 - init_ramp) * _smoothstep(t / 4.0)
+        p = p * env[..., None]
+    p = traj_scale * p
     rv = np.stack([roll, pitch, yaw], axis=-1)
     q = _np_expmap(rv)
     return q, p
@@ -130,6 +160,8 @@ def make_scene(
     bg=(0.0, 0.0, 0.0),
     ba=(0.0, 0.0, 0.0),
     traj_scale=1.0,
+    init_ramp=0.0,
+    long_profile=False,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     assert imu_rate % fps == 0, "frame times must align with the IMU grid"
@@ -143,7 +175,8 @@ def make_scene(
     h = 1e-4
 
     def _tp(t):
-        return _traj_pose(t, traj_scale=traj_scale)
+        return _traj_pose(t, traj_scale=traj_scale, init_ramp=init_ramp,
+                          long_profile=long_profile)
 
     def vel(t):
         _, pp = _tp(t + h)

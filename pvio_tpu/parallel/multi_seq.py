@@ -1,4 +1,4 @@
-"""Multi-sequence end-to-end pipeline batching (BASELINE config 4).
+"""Multi-sequence coupled-chain pipeline batching (BASELINE config 4).
 
 The reference processes one sequence per process (pvio-pc main.cpp); the
 TPU-native scale-out serves N sequences per chip by BATCHING the fused
@@ -9,9 +9,17 @@ and across chips by sharding the batch axis over the mesh ("dp" in
 SURVEY §2.4). Every kernel is fixed-shape, so one compiled batched
 program serves any sequence set.
 
+Scope (honest): this is a coupled-chain THROUGHPUT batch with a FIXED
+keyframe cadence — the per-group BA result (states, biases, depths,
+planes) carries across groups, but the window TOPOLOGY is static: no
+keyframe append, no adaptive keyframe decisions. N full adaptive host
+state machines with divergent keyframe/init schedules sharing batched
+device dispatches live in parallel/serving.py (MultiPVIO); this module
+is the fixed-shape in-graph batch that bench.py's single-sequence
+driver metric also uses.
+
 The chain here is the COUPLED pipeline (KLT-tracked keypoints feed PnP
-through a static detector-slot -> window-column association); bench.py
-uses the same builders for its single-sequence driver metric.
+through a static detector-slot -> window-column association).
 """
 
 from functools import partial
@@ -160,13 +168,18 @@ def make_chain(kern, cfg, groups, kf_every=4):
             for i in range(kf_every):
                 pyr, resp, kp, mask, wst, alive, stir = one_frame(
                     pyr, resp, kp, mask, wst, alive, stir, i0 + i)
+            # the post-BA window CARRIES across groups: refined states,
+            # biases, depths and planes feed the next group's PnP/BA (the
+            # topology stays static — see the module docstring). The
+            # marginalization product is computed for its cost (and kept
+            # live through the stir term) but the un-compacted window is
+            # what the static-shape chain continues from.
             wst2, info, xw, _tri = kern.ba_step(
                 wst, *imu_ops, a["track_life"], False)
             wm = kern.marg_step(wst2, *imu_ops)
             stir = stir + 1e-30 * jnp.nan_to_num(
                 info["final_cost"] + wm.p[0, 0] + xw[0, 0])
-            wst = jax.tree.map(lambda x, y: x, w_base, wst)
-            wst = wst._replace(p=wst.p + stir)
+            wst = wst2._replace(p=wst2.p + stir)
             return (pyr, resp, kp, mask, wst, alive, stir), info["final_cost"]
 
         pyr0, resp0, kp0, mask0 = kern.first_frame_step(images[0])

@@ -33,6 +33,20 @@ def main():
     ap.add_argument("--traj-scale", type=float, default=1.0,
                     help="spatial sweep scale; <= 0.6 keeps the init "
                          "baseline under the reference scale gate")
+    ap.add_argument("--init-ramp", type=float, default=0.0,
+                    help="smooth spatial-sweep ramp floor (>0 keeps the "
+                         "init baseline under the production scale gate "
+                         "without shrinking the rest of the trajectory)")
+    ap.add_argument("--long-profile", action="store_true",
+                    help="60+ s profile: drifting loops + aggressive "
+                         "yaw/pitch burst at t=25-35 s")
+    ap.add_argument("--blackout", nargs=2, type=float, default=None,
+                    metavar=("T0", "T1"),
+                    help="feed black frames for t in [T0, T1) (forces "
+                         "tracking loss + re-init mid-run)")
+    ap.add_argument("--cache-images", default=None,
+                    help=".npz path: render once, reuse across runs "
+                         "(uint8, post-undistortion, pre-blackout)")
     ap.add_argument("--max-scale", type=float, default=5.0,
                     help="initializer_max_scale override (1.0 = the "
                          "reference production gate, initializer.cpp:216)")
@@ -99,6 +113,7 @@ def main():
     scene = synthetic.make_scene(
         duration=args.duration, fps=args.fps, imu_rate=200.0,
         n_points=8, seed=args.seed, traj_scale=args.traj_scale,
+        init_ramp=args.init_ramp, long_profile=args.long_profile,
         gyro_noise=1e-3 * args.imu_noise, accel_noise=1e-2 * args.imu_noise,
     )
     und = ImageUndistorter(cfg.K, cfg.camera_distortion,
@@ -109,7 +124,18 @@ def main():
 
     noise_rng = np.random.default_rng(args.seed + 1)
 
-    def make_image(fi):
+    cached = None
+    if args.cache_images and os.path.exists(args.cache_images):
+        cached = np.load(args.cache_images)["images"]
+        assert len(cached) == len(scene.frame_t), (
+            f"cache has {len(cached)} frames, scene {len(scene.frame_t)} — "
+            "delete the stale cache")
+        print(f"loaded {len(cached)} cached frames from {args.cache_images}",
+              file=sys.stderr)
+
+    def render_image(fi):
+        if cached is not None:
+            return cached[fi]
         img = synthetic.render_frame_room(
             scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
             distortion=cfg.camera_distortion,
@@ -118,7 +144,23 @@ def main():
         if args.pixel_noise > 0 and scene.frame_t[fi] >= args.noise_after:
             u8f = u8f + noise_rng.normal(size=u8f.shape) * args.pixel_noise
         u8 = np.clip(u8f + 0.5, 0, 255).astype(np.uint8)
-        return und.apply(u8)
+        return np.asarray(und.apply(u8))
+
+    if args.cache_images and cached is None:
+        t0 = time.perf_counter()
+        stack = np.stack([render_image(fi) for fi in range(len(scene.frame_t))])
+        np.savez_compressed(args.cache_images, images=stack)
+        cached = stack
+        print(f"rendered+cached {len(stack)} frames in "
+              f"{time.perf_counter() - t0:.0f}s -> {args.cache_images}",
+              file=sys.stderr)
+
+    def make_image(fi):
+        if args.blackout is not None and \
+                args.blackout[0] <= scene.frame_t[fi] < args.blackout[1]:
+            H, W = cfg.image_size[1], cfg.image_size[0]
+            return np.zeros((H, W), np.uint8)
+        return render_image(fi)
 
     if args.save_frames:
         os.makedirs(args.save_frames, exist_ok=True)
@@ -193,6 +235,21 @@ def main():
             continue
         a = float(wahba.ate_rmse(est[seg], gt[seg], with_scale=False))
         print(f"  quarter {k}: ATE {a:.4f} m over {seg.stop - seg.start}")
+    if args.blackout is not None:
+        # separate gauges before/after the forced re-init
+        ts = np.array([tt for (tt, q, p) in traj
+                       if t2idx.get(round(tt, 6)) is not None])
+        pre = ts < args.blackout[0]
+        post = ts >= args.blackout[1]
+        for name, m in (("pre-blackout", pre), ("post-recovery", post)):
+            if m.sum() < 10:
+                print(f"  {name}: only {int(m.sum())} poses")
+                continue
+            e, g = est[np.nonzero(m)[0]], gt[np.nonzero(m)[0]]
+            s_seg, _, _ = wahba.find_srt(e, g)
+            a = float(wahba.ate_rmse(e, g, with_scale=False))
+            print(f"  {name}: ATE {a:.4f} m over {int(m.sum())} poses, "
+                  f"scale {float(s_seg):.4f}")
     return 0
 
 

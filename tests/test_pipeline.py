@@ -194,12 +194,11 @@ def test_tracking_loss_reinit_and_recovery():
 def test_fused_keyframe_pipeline():
     """Config.fused_keyframe: the whole keyframe (marginalize + append +
     BA) as ONE device dispatch + ONE fetch (kernels.kf_step). Must
-    initialize, never re-init, and reach accuracy comparable to the
-    separate marg_step/ba_step path (documented deviations: plane
-    bookkeeping on the pre-marg window; victim-referenced triangulation
-    adoptions defer one frame)."""
-    from pvio_tpu.core.frontend_worker import FrontendWorker
-    from pvio_tpu.core.kernels import DeviceKernels
+    initialize, never re-init, make the SAME keyframe decisions as the
+    separate marg_step/ba_step path, and stay within a tight accuracy
+    bound of it (the two documented deviations — plane bookkeeping on
+    the pre-marg window; victim-referenced triangulation adoptions
+    defer one frame — must cost noise, not accuracy)."""
     from pvio_tpu.io import synthetic as syn
 
     def run(fused):
@@ -210,9 +209,70 @@ def test_fused_keyframe_pipeline():
         fw, outputs = run_oracle(cfg, scene, kp_noise_px=0.3)
         assert fw.initialized and fw.n_reinits == 0
         ate, scale = ate_of(outputs, scene)
-        return ate, len(outputs)
+        return ate, len(outputs), fw.swt.n_keyframes
 
-    ate_std, n_std = run(False)
-    ate_fused, n_fused = run(True)
+    ate_std, n_std, kf_std = run(False)
+    ate_fused, n_fused, kf_fused = run(True)
     assert n_fused == n_std
-    assert ate_fused < max(2.0 * ate_std, 0.15), (ate_fused, ate_std)
+    # identical keyframe schedule: the fused path sees the same keyframe
+    # statistics (p80 parallax / common-track count) as the separate path
+    assert kf_fused == kf_std, (kf_fused, kf_std)
+    assert kf_std >= 3, kf_std
+    # tight accuracy fencing (round-4 ADVICE: the old 2x bound could hide
+    # a substantial regression): 1.2x relative plus a 2 cm absolute floor
+    # for seed-level noise on this short scene
+    assert ate_fused < max(1.2 * ate_std, ate_std + 0.02), (ate_fused, ate_std)
+
+
+@pytest.mark.slow
+def test_pipelined_host_bit_identical():
+    """Config.pipelined_host: the latency-hiding dispatch/finish split
+    (core/core.py:_process_frame/_advance_pipeline/flush) must produce
+    BIT-IDENTICAL trajectories to the sequential loop — same ops, same
+    order, same inputs; only the host blocking pattern changes (the
+    claim made in README/PARITY row 32, previously untested). Covers
+    depth 1 and depth 2, and a mid-run blackout (tracking loss +
+    re-init while stages are in flight)."""
+    scene = synthetic.make_scene(duration=5.0, fps=20.0, imu_rate=200.0,
+                                 n_points=320, seed=648)
+    blackout = range(55, 61)
+
+    def run(pipelined, depth):
+        cfg = small_config()
+        cfg.pipelined_host = pipelined
+        cfg.pipeline_depth = depth
+        vio = PVIO(cfg)
+        if vio.core.hub is None:
+            pytest.skip("native sensor hub unavailable "
+                        "(pipelined path requires csrc build)")
+        fi = 0
+        H, W = cfg.image_size[1], cfg.image_size[0]
+        for k in range(len(scene.imu_t)):
+            t = scene.imu_t[k]
+            vio.track_gyroscope(t, *scene.gyro[k])
+            vio.track_accelerometer(t, *scene.accel[k])
+            while fi < len(scene.frame_t) and scene.frame_t[fi] <= t:
+                if fi in blackout:
+                    img = np.zeros((H, W), np.float32)
+                else:
+                    img = synthetic.render_frame(scene, fi, cfg.K,
+                                                 cfg.image_size)
+                vio.track_camera(scene.frame_t[fi], img)
+                fi += 1
+        traj = vio.get_trajectory()  # drains the pipeline
+        return traj, vio.core.frontend.n_reinits, vio.initialized
+
+    traj_seq, reinits_seq, init_seq = run(False, 1)
+    assert init_seq and reinits_seq >= 1, (
+        "scene must exercise a re-init segment")
+    for depth in (1, 2):
+        traj_pipe, reinits_pipe, init_pipe = run(True, depth)
+        assert init_pipe and reinits_pipe == reinits_seq
+        assert len(traj_pipe) == len(traj_seq), (
+            f"depth {depth}: {len(traj_pipe)} vs {len(traj_seq)} poses")
+        for (t1, q1, p1), (t2, q2, p2) in zip(traj_seq, traj_pipe):
+            assert t1 == t2
+            np.testing.assert_array_equal(p1, p2,
+                                          err_msg=f"depth {depth}, t={t1}")
+            np.testing.assert_array_equal(q1, q2,
+                                          err_msg=f"depth {depth}, t={t1}")

@@ -469,6 +469,111 @@ def test_adoption_gate_regression_net(plane_scene):
     assert wrong_n <= 1, f"{wrong_n} off-plane tracks adopted under noise"
 
 
+def test_escape_reanchor_regression_net(plane_scene):
+    """Escape/re-anchor regression net (round-4 verdict item 6), the
+    drifted-gauge counterpart of the adoption net above: the per-keyframe
+    gauge re-anchor (plane_extractor.update_parameters with
+    plane_estimate_in_solver; reference refit plane.cpp:64-114) and the
+    post-solve escape (bundle_adjustor.cpp:251-275) must TOGETHER
+    (a) not mass-escape genuine members when the window gauge has
+    drifted relative to the detection-time plane parameters,
+    (b) still escape a genuinely off-plane bad adoption, and
+    (c) re-anchor the plane onto the drifted gauge within a tight bound.
+    These three behaviors carried the round-4 hard-mode headline win and
+    were previously protected only by end-to-end ATE."""
+    from pvio_tpu.geometry import nplie
+
+    cfg = plane_config()
+    cfg.plane_estimate_in_solver = True
+    cfg.plane_escape_min_life = 4
+    kf = [0, 4, 8, 12, 16, 20]
+    hw, extr, info = make_host_window(plane_scene, cfg, kf)
+    kern = DeviceKernels(cfg)
+    pe = PlaneExtractor(cfg, kern)
+    pe.update_map(hw)
+    assert hw.plane_mask.sum() == 1
+    s = int(np.nonzero(hw.plane_mask)[0][0])
+
+    # a genuinely off-plane bad adoption (flag + cast, like a wrong
+    # extend_planes decision)
+    c_bad, true_inv_d = _corrupt_adoption(hw, pe, info, plane_scene, s)
+    members = ((hw.plane_id == s) & hw.track_mask
+               & ((hw.track_flags & TF_PLANE) != 0))
+    genuine = members.copy()
+    genuine[c_bad] = False
+    assert genuine.sum() >= 25
+
+    # simulate accumulated gauge drift: rigidly transform the WHOLE
+    # window (small pitch/roll + translation) while the plane keeps its
+    # detection-time parameters. Observations/inv-depths are camera-
+    # frame quantities — unchanged under a rigid world transform.
+    rv = np.array([0.5, 1.5, 0.8]) * np.pi / 180.0  # ~1.8 deg total
+    dq = nplie.expmap(rv)
+    Rd = nplie.quat_to_mat(dq)
+    t_shift = np.array([0.05, -0.03, 0.04])
+    for f in np.nonzero(hw.frame_mask)[0]:
+        hw.q[f] = nplie.quat_mul(dq, hw.q[f])
+        hw.p[f] = Rd @ hw.p[f] + t_shift
+        hw.v[f] = Rd @ hw.v[f]
+    n_stale = hw.plane_normal[s].copy()
+    d_stale = float(hw.plane_distance[s])
+    # the true plane expressed in the drifted gauge
+    n_true = Rd @ n_stale
+    d_true = d_stale + float(n_true @ t_shift)
+
+    # fresh triangulations from the drifted poses (what ba_step's fetch
+    # delivers to the host refit in production)
+    w = hw.to_device()
+    pts_d, inv_d_d, ok_d = win.triangulate_tracks(w, kern.extr)
+    baseline_d = win.track_baselines(w)
+    fresh = tuple(np.asarray(a) for a in (pts_d, inv_d_d, ok_d, baseline_d))
+
+    # the drift scenario must actually be stressful: members are spread
+    # 0.05-0.2 m around the STALE plane (tilt + offset), i.e. without a
+    # re-anchor the sigma escape would shed genuine members
+    K = cfg.K
+    f_px = float(0.5 * (K[0, 0] + K[1, 1]))
+    sigma_px = float(np.sqrt(np.mean(np.diag(cfg.camera_noise_cov))))
+    life = jnp.asarray(hw.track_life)
+    w_noanchor = ba.plane_track_escape(
+        w, kern.extr, life, min_life=cfg.plane_min_track_life,
+        escape_dist=0.1, kp_sigma_px=sigma_px, f_px=f_px, sigma_k=3.0,
+        dist_floor=0.005)
+    shed_noanchor = genuine & (
+        (np.array(w_noanchor.track_flags) & TF_PLANE) == 0)
+    assert shed_noanchor.sum() >= 1, (
+        "drift scenario too mild — the stale-anchor escape sheds nobody, "
+        "so the net would not exercise the re-anchor's job")
+
+    # (c) re-anchor: the robust refit must track the drifted gauge
+    pe.update_parameters(hw, fresh=fresh)
+    n_re = hw.plane_normal[s]
+    if n_re @ n_true < 0:
+        n_re, d_re = -n_re, -float(hw.plane_distance[s])
+    else:
+        d_re = float(hw.plane_distance[s])
+    assert float(n_re @ n_true) > 0.9995, (
+        f"re-anchored normal off by {np.degrees(np.arccos(min(1.0, float(n_re @ n_true)))):.2f} deg")
+    assert abs(d_re - d_true) < 0.02, (d_re, d_true)
+
+    # (a)+(b): escape AFTER the re-anchor sheds exactly the bad adoption
+    w2 = hw.to_device()
+    w_escaped = ba.plane_track_escape(
+        w2, kern.extr, life, min_life=cfg.plane_min_track_life,
+        escape_dist=0.1, kp_sigma_px=sigma_px, f_px=f_px, sigma_k=3.0,
+        dist_floor=0.005)
+    flags2 = np.array(w_escaped.track_flags)
+    assert not (flags2[c_bad] & TF_PLANE), (
+        "genuinely off-plane bad adoption must escape")
+    assert flags2[c_bad] & TF_VALID
+    stay = ((flags2[genuine] & TF_PLANE) != 0)
+    assert stay.mean() > 0.95, (
+        f"re-anchored escape must not mass-shed: kept {stay.mean():.2f}")
+    # the escaped track's depth returns to (near) its free-point truth
+    assert abs(float(np.array(w_escaped.inv_depth)[c_bad]) - true_inv_d) \
+        < 0.05 * true_inv_d
+
+
 def test_plane_track_points_for_pnp(plane_scene):
     cfg = plane_config()
     kf = [0, 4, 8, 12, 16]
