@@ -92,6 +92,11 @@ class Core:
         self._pipeline_depth = max(depth, 1)
         self._ft_queue = deque()  # in-flight frontend handles (oldest first)
         self._swt_pending = None  # in-flight SWT motion-step record
+        # serving mode (parallel/serving.MultiSequenceServer): sensor
+        # entry points only QUEUE; an external host loop polls ready
+        # frames and runs the dispatch/finish phases itself so N engines
+        # can share each device->host synchronization point
+        self.defer_frames = False
 
     # ------------------------------------------------------------------
     # public sensor entry points (pvio.h:135-148 facade semantics)
@@ -129,6 +134,8 @@ class Core:
         return self._predict_output(t)
 
     def _dispatch_native(self):
+        if self.defer_frames:
+            return
         while True:
             got = self.hub.poll_frame()
             if got is None:
@@ -136,6 +143,20 @@ class Core:
             fid, t, ts, ws, accs = got
             image = self._images.pop(fid)
             self._process_frame(fid, t, image, ts, ws, accs)
+
+    def poll_ready_frame(self):
+        """(serving host loop) Pop the oldest camera frame whose IMU span
+        is complete WITHOUT processing it; returns
+        (fid, t, image, ts, ws, accs) or None. Only meaningful with
+        `defer_frames` set — the external loop then runs the
+        dispatch/finish phases (parallel/serving.py)."""
+        if self.hub is not None:
+            got = self.hub.poll_frame()
+            if got is None:
+                return None
+            fid, t, ts, ws, accs = got
+            return fid, t, self._images.pop(fid), ts, ws, accs
+        return self._next_ready_frame()
 
     def _process_frame(self, fid, t, image, ts, ws, accs):
         """Run one camera frame through tracker + frontend — sequentially,
@@ -227,28 +248,42 @@ class Core:
             self.accel.popleft()
         self._dispatch_frames()
 
+    def _next_ready_frame(self):
+        """Pop the oldest pending frame whose IMU span is complete and
+        extract its (ts, ws, accs) span; returns
+        (fid, t, image, ts, ws, accs) or None (core.cpp:129-141)."""
+        if not self.pending_frames:
+            return None
+        fid, t, image = self.pending_frames[0]
+        if not self.imu or self.imu[-1][0] < t:
+            return None  # IMU span not complete yet (core.cpp:129-141)
+        take = [s for s in self.imu if s[0] <= t]
+        self.imu = [s for s in self.imu if s[0] > t]
+        self.pending_frames.popleft()
+        # Seed the interval with the boundary sample held at the
+        # previous frame's timestamp so integration covers the full
+        # [t_prev, t] span (the reference drops the first sub-sample
+        # segment, core.cpp:129-141 + preintegrator.cpp:88-96; we fix
+        # the coverage rather than copy the quirk).
+        if take and self._boundary is not None:
+            bt, bw, ba_ = self._boundary
+            if take[0][0] > self._last_frame_t > -np.inf:
+                take.insert(0, (self._last_frame_t, bw, ba_))
+        if take:
+            self._boundary = take[-1]
+        ts = np.array([s[0] for s in take])
+        ws = np.array([s[1] for s in take]).reshape(-1, 3)
+        accs = np.array([s[2] for s in take]).reshape(-1, 3)
+        return fid, t, image, ts, ws, accs
+
     def _dispatch_frames(self):
-        while self.pending_frames:
-            fid, t, image = self.pending_frames[0]
-            if not self.imu or self.imu[-1][0] < t:
-                break  # IMU span not complete yet (core.cpp:129-141)
-            take = [s for s in self.imu if s[0] <= t]
-            self.imu = [s for s in self.imu if s[0] > t]
-            self.pending_frames.popleft()
-            # Seed the interval with the boundary sample held at the
-            # previous frame's timestamp so integration covers the full
-            # [t_prev, t] span (the reference drops the first sub-sample
-            # segment, core.cpp:129-141 + preintegrator.cpp:88-96; we fix
-            # the coverage rather than copy the quirk).
-            if take and self._boundary is not None:
-                bt, bw, ba_ = self._boundary
-                if take[0][0] > self._last_frame_t > -np.inf:
-                    take.insert(0, (self._last_frame_t, bw, ba_))
-            if take:
-                self._boundary = take[-1]
-            ts = np.array([s[0] for s in take])
-            ws = np.array([s[1] for s in take]).reshape(-1, 3)
-            accs = np.array([s[2] for s in take]).reshape(-1, 3)
+        if self.defer_frames:
+            return
+        while True:
+            got = self._next_ready_frame()
+            if got is None:
+                break
+            fid, t, image, ts, ws, accs = got
             with forensics.timer("feature_tracker_time"):
                 rf = self.feature_tracker.track_frame(fid, t, image, ts, ws, accs)
             state = self.frontend.issue_frame(rf)

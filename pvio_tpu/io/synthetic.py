@@ -9,6 +9,7 @@ second derivative plus gravity, expressed in body frame). This plays the
 role of the golden-run datasets in SURVEY §4 and feeds bench.py.
 """
 
+from pathlib import Path
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -714,3 +715,87 @@ def project_points(scene: SyntheticScene, frame_indices, q_bc=None, p_bc=None,
     if kp_noise > 0:
         kp = kp + rng.normal(size=kp.shape) * kp_noise
     return kp, visible
+
+
+def write_asl_dataset(scene: SyntheticScene, outdir, K, image_size,
+                      q_bc=None, p_bc=None, distortion=None,
+                      distortion_model=None, progress=False):
+    """Serialize a synthetic scene to an on-disk ASL/EuRoC directory:
+
+        <outdir>/mav0/cam0/data.csv + data/<ns>.png   (DISTORTED renders —
+                                                       what the sensor records;
+                                                       the reader undistorts)
+        <outdir>/mav0/imu0/data.csv
+        <outdir>/mav0/state_groundtruth_estimate0/data.csv
+
+    This closes the loop the reference validates through real datasets
+    (euroc_dataset_reader.cpp:21-104 parses exactly these files): the
+    written directory is consumed by ``euroc://<outdir>`` through the
+    native C++ loader, exercising CSV parsing, PNG decode, undistortion,
+    and the full engine + output writer from disk. Timestamps are
+    nanosecond integers as in ASL.
+    """
+    import sys as _sys
+
+    from PIL import Image
+
+    outdir = Path(outdir)
+    cam = outdir / "mav0" / "cam0"
+    imu = outdir / "mav0" / "imu0"
+    gt = outdir / "mav0" / "state_groundtruth_estimate0"
+    (cam / "data").mkdir(parents=True, exist_ok=True)
+    imu.mkdir(parents=True, exist_ok=True)
+    gt.mkdir(parents=True, exist_ok=True)
+
+    with open(imu / "data.csv", "w") as f:
+        f.write("#timestamp [ns],w_RS_S_x [rad s^-1],w_RS_S_y [rad s^-1],"
+                "w_RS_S_z [rad s^-1],a_RS_S_x [m s^-2],a_RS_S_y [m s^-2],"
+                "a_RS_S_z [m s^-2]\n")
+        for i, t in enumerate(scene.imu_t):
+            w, a = scene.gyro[i], scene.accel[i]
+            row = [w[0], w[1], w[2], a[0], a[1], a[2]]
+            f.write(f"{int(round(t * 1e9))},"
+                    + ",".join(repr(float(x)) for x in row) + "\n")
+
+    with open(gt / "data.csv", "w") as f:
+        f.write("#timestamp [ns],p_RS_R_x [m],p_RS_R_y [m],p_RS_R_z [m],"
+                "q_RS_w [],q_RS_x [],q_RS_y [],q_RS_z [],"
+                "v_RS_R_x [m s^-1],v_RS_R_y [m s^-1],v_RS_R_z [m s^-1]\n")
+        for i, t in enumerate(scene.frame_t):
+            p, q, v = scene.p_wb[i], scene.q_wb[i], scene.v_wb[i]
+            row = [p[0], p[1], p[2], q[0], q[1], q[2], q[3], v[0], v[1], v[2]]
+            f.write(f"{int(round(t * 1e9))},"
+                    + ",".join(repr(float(x)) for x in row) + "\n")
+
+    with open(cam / "data.csv", "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        for i, t in enumerate(scene.frame_t):
+            ns = int(round(t * 1e9))
+            name = f"{ns}.png"
+            img = render_frame_room(
+                scene, i, K, image_size, q_bc=q_bc, p_bc=p_bc,
+                distortion=distortion, distortion_model=distortion_model)
+            u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            Image.fromarray(u8, mode="L").save(cam / "data" / name)
+            f.write(f"{ns},{name}\n")
+            if progress and (i + 1) % 20 == 0:
+                print(f"  wrote frame {i + 1}/{len(scene.frame_t)}",
+                      file=_sys.stderr)
+    return outdir
+
+
+def load_asl_groundtruth(outdir):
+    """Read back the ground-truth CSV written by write_asl_dataset:
+    (t (N,) s, p (N, 3), q (N, 4) wxyz)."""
+    import csv as _csv
+
+    path = Path(outdir) / "mav0" / "state_groundtruth_estimate0" / "data.csv"
+    ts, ps, qs = [], [], []
+    with open(path) as f:
+        for row in _csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            ts.append(int(row[0]) * 1e-9)
+            ps.append([float(v) for v in row[1:4]])
+            qs.append([float(v) for v in row[4:8]])
+    return np.asarray(ts), np.asarray(ps), np.asarray(qs)

@@ -19,6 +19,9 @@ def main(argv=None):
     ap.add_argument("--output", default="trajectory.tum")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", default=None, choices=["float32", "float64"],
+                    help="estimator dtype (default: config's; float64 "
+                         "enables x64 like the all-double reference)")
     ap.add_argument("--no-planes", action="store_true")
     ap.add_argument("--pipelined", action="store_true",
                     help="latency-hiding host pipeline (one frame of "
@@ -44,6 +47,8 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
     import numpy as np
 
@@ -52,6 +57,8 @@ def main(argv=None):
     from pvio_tpu.utils.forensics import bus
 
     cfg = Config.from_yaml(args.config) if args.config else Config()
+    if args.dtype is not None:
+        cfg.dtype = args.dtype
     cfg.pipelined_host = bool(args.pipelined)
     if args.no_planes:
         cfg.enable_plane_constraint = False
