@@ -348,6 +348,11 @@ class LiveVisualizer:
                                    bus=self.bus)
         except ValueError:
             pass
+        # interactive 3D map (reference NanoVis 3D view, main.cpp:264-470)
+        from pvio_tpu.io.viewer3d import render_view3d
+
+        render_view3d(os.path.join(self.dir, "view3d.html"),
+                      bus=self.bus, trajectory=traj, live=True)
         render_dashboard(os.path.join(self.dir, "dashboard.png"),
                          trajectory=traj, history=self.history, bus=self.bus,
                          title="pvio_tpu live")

@@ -28,6 +28,10 @@ def main(argv=None):
                          "estimator lag; bit-identical outputs)")
     ap.add_argument("--plot", default=None, metavar="PNG",
                     help="render the forensics dashboard to this file")
+    ap.add_argument("--view3d", default=None, metavar="HTML",
+                    help="write the interactive 3D map viewer (orbitable "
+                         "landmarks/frusta/planes/trajectory; the reference "
+                         "NanoVis 3D window, main.cpp:264-470) at end of run")
     ap.add_argument("--overlay-dir", default=None, metavar="DIR",
                     help="save tracked-feature overlays (every --overlay-every"
                          " frames) to this directory")
@@ -152,6 +156,13 @@ def main(argv=None):
         with TumTrajectoryWriter(args.output) as wtr:
             run_dataset(vio, reader, wtr, max_frames=args.max_frames,
                         on_frame=on_frame)
+
+    if args.view3d:
+        from pvio_tpu.io.viewer3d import render_view3d
+
+        render_view3d(args.view3d, bus=bus, trajectory=vio.get_trajectory(),
+                      title=f"pvio_tpu 3D — {args.dataset}")
+        print(f"3D viewer written to {args.view3d}")
 
     if args.plot:
         from pvio_tpu.io.visualizer import render_dashboard

@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--kp-sigma", type=float, default=None,
                     help="declared keypoint noise sigma in px (reference "
                          "camera.noise config) — raise for noisy imagery")
+    ap.add_argument("--texture-seed", type=int, default=7,
+                    help="room texture seed — the engine's RANSAC seeds are "
+                         "fixed (seed 648, config.cpp:91-93), so run-to-run "
+                         "variation must come from the imagery itself")
     ap.add_argument("--save-frames", default=None,
                     help="directory to dump a few rendered+undistorted PNGs")
     args = ap.parse_args()
@@ -139,7 +143,8 @@ def main():
         img = synthetic.render_frame_room(
             scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
             distortion=cfg.camera_distortion,
-            distortion_model=cfg.camera_distortion_model)
+            distortion_model=cfg.camera_distortion_model,
+            seed=args.texture_seed)
         u8f = img * 255.0
         if args.pixel_noise > 0 and scene.frame_t[fi] >= args.noise_after:
             u8f = u8f + noise_rng.normal(size=u8f.shape) * args.pixel_noise

@@ -352,3 +352,44 @@ def test_feature_tracker_emits_painter_snapshot():
     assert snap["kp"].shape[1] == 2
     assert snap["mask"].any()
     assert snap["image"].shape == (cfg.image_size[1], cfg.image_size[0])
+
+
+def test_view3d_interactive_viewer_renders(tmp_path):
+    """Interactive 3D map viewer (io/viewer3d.py — the reference NanoVis
+    3D window role, main.cpp:264-470): snapshot from the forensics slots
+    + trajectory, rendered as ONE self-contained HTML (no external
+    assets; this environment has zero egress) with the scene embedded."""
+    import json
+
+    from pvio_tpu.io import viewer3d
+    from pvio_tpu.utils.forensics import Forensics
+
+    rng = np.random.default_rng(2)
+    bus = Forensics()
+    bus.set("sliding_window_landmark_points", rng.normal(size=(60, 3)))
+    bus.set("sliding_window_keyframe_poses",
+            [(0.1 * i, np.array([1.0, 0, 0, 0]), np.array([0.2 * i, 0.0, 0.3]))
+             for i in range(5)])
+    bus.set("sliding_window_plane_states",
+            [(np.array([0.0, 0.0, 1.0]), 1.5)])
+    traj = [(0.05 * i, np.array([1.0, 0, 0, 0]),
+             np.array([0.1 * i, 0.05 * i, 0.0])) for i in range(12)]
+    snap = viewer3d.scene_snapshot(bus=bus, trajectory=traj)
+    assert len(snap["landmarks"]) == 60
+    assert len(snap["frusta"]) == 5 and len(snap["planes"]) == 1
+    assert len(snap["trajectory"]) == 12
+    # the plane display quad must lie ON the plane z=1.5
+    c = snap["planes"][0]["c"]
+    assert abs(c[2] - 1.5) < 1e-6
+    out = tmp_path / "view3d.html"
+    viewer3d.render_view3d(str(out), snapshot=snap)
+    html = out.read_text()
+    assert "<canvas" in html and "localStorage" in html
+    # the embedded scene must round-trip as JSON
+    embedded = html.split("const SCENE = ", 1)[1].split(";\n", 1)[0]
+    back = json.loads(embedded)
+    assert len(back["landmarks"]) == 60
+    # balanced script: a syntax-truncation canary for the inline JS
+    js = html.split("<script>")[1].split("</script>")[0]
+    assert js.count("{") == js.count("}")
+    assert js.count("(") == js.count(")")
