@@ -104,7 +104,7 @@ def _smoothstep(x):
 
 
 def _traj_pose(t, span=5.0, traj_scale=1.0, init_ramp=0.0,
-               long_profile=False):
+               long_profile=False, agg_scale=1.0):
     """Smooth analytic trajectory: oval + yaw sweep + gentle roll, with
     enough acceleration excitation (~2-3 m/s^2) for scale/gravity
     observability during initialization. traj_scale shrinks the spatial
@@ -136,7 +136,7 @@ def _traj_pose(t, span=5.0, traj_scale=1.0, init_ramp=0.0,
             [0.8 * np.sin(2 * np.pi * t / 37.0),
              0.6 * np.sin(2 * np.pi * t / 53.0),
              0.12 * np.sin(2 * np.pi * t / 23.0)], axis=-1)
-        agg = _smoothstep((t - 25.0) / 3.0) * _smoothstep((35.0 - t) / 3.0)
+        agg = agg_scale * _smoothstep((t - 25.0) / 3.0) * _smoothstep((35.0 - t) / 3.0)
         yaw = yaw + 0.6 * agg * np.sin(2 * np.pi * t / 3.5)
         pitch = pitch + 0.15 * agg * np.sin(2 * np.pi * t / 2.3 + 0.7)
     if init_ramp > 0.0:
@@ -163,6 +163,7 @@ def make_scene(
     traj_scale=1.0,
     init_ramp=0.0,
     long_profile=False,
+    agg_scale=1.0,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     assert imu_rate % fps == 0, "frame times must align with the IMU grid"
@@ -177,7 +178,7 @@ def make_scene(
 
     def _tp(t):
         return _traj_pose(t, traj_scale=traj_scale, init_ramp=init_ramp,
-                          long_profile=long_profile)
+                          long_profile=long_profile, agg_scale=agg_scale)
 
     def vel(t):
         _, pp = _tp(t + h)

@@ -31,6 +31,13 @@ def main():
                     help="stop the drive at this time (s)")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VAL", help="config overrides")
+    ap.add_argument("--churn-from", type=float, default=1e9)
+    ap.add_argument("--churn-to", type=float, default=1e9)
+    ap.add_argument("--agg-scale", type=float, default=1.0,
+                    help="burst amplitude (0 = no aggressive segment)")
+    ap.add_argument("--render", action="store_true",
+                    help="render frames instead of using --cache (for "
+                         "scene variants with no cache)")
     args = ap.parse_args()
 
     from pvio_tpu import PVIO, Config
@@ -50,18 +57,38 @@ def main():
 
     scene = synthetic.make_scene(duration=args.duration, fps=20.0,
                                  imu_rate=200.0, n_points=8, seed=648,
-                                 init_ramp=0.3, long_profile=True)
-    images = np.load(args.cache)["images"]
-    assert len(images) == len(scene.frame_t)
+                                 init_ramp=0.3, long_profile=True,
+                                 agg_scale=args.agg_scale)
+    if args.render:
+        from pvio_tpu.io.undistort import ImageUndistorter
+        und = ImageUndistorter(cfg.K, cfg.camera_distortion,
+                               cfg.camera_distortion_model, cfg.image_size)
+        q_bc, p_bc = np.asarray(cfg.q_bc), np.asarray(cfg.p_bc)
+        n_render = sum(scene.frame_t <= (args.until or args.duration))
+        images = []
+        for fi in range(n_render + 1 if n_render < len(scene.frame_t)
+                        else n_render):
+            img = synthetic.render_frame_room(
+                scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
+                distortion=cfg.camera_distortion,
+                distortion_model=cfg.camera_distortion_model)
+            images.append(und.apply((img * 255.0 + 0.5).astype(np.uint8)))
+            if (fi + 1) % 100 == 0:
+                print(f"  rendered {fi + 1}/{n_render}", flush=True)
+    else:
+        images = np.load(args.cache)["images"]
+        assert len(images) == len(scene.frame_t)
 
     vio = PVIO(cfg)
     core = vio.core
 
     # per-keyframe probe: wrap track_finish's keyframe bookkeeping
     from pvio_tpu.core import swt as swt_mod
+    from pvio_tpu.utils.forensics import bus as forensics_bus
 
     orig_finish = swt_mod.SlidingWindowTracker.track_finish
-    state = {"last_kf": -1}
+    state = {"last_kf": -1, "R": None, "tr": None, "s": 1.0, "est": [],
+             "gt": []}
 
     def traced_finish(self, pend, fetched=None):
         ok = orig_finish(self, pend, fetched=fetched)
@@ -71,23 +98,90 @@ def main():
             t = float(hw.frame_t[hw.n_frames - 1])
             fi = int(round(t * 20.0))
             gt_p = scene.p_wb[min(fi, len(scene.p_wb) - 1)]
-            est_p = hw.p[hw.n_frames - 1]
+            est_p = np.asarray(hw.p[hw.n_frames - 1], float)
+            state["est"].append(est_p)
+            state["gt"].append(np.asarray(gt_p, float))
+            # fit the VIO->world gauge on the clean early segment once
+            if state["R"] is None and t >= 8.0:
+                import jax.numpy as jnp
+                E = jnp.asarray(np.array(state["est"]))
+                G = jnp.asarray(np.array(state["gt"]))
+                s_, R_, tr_ = wahba.find_srt(E, G)
+                state["s"], state["R"], state["tr"] = \
+                    float(s_), np.asarray(R_, float), np.asarray(tr_, float)
+                print(f"  [gauge] fit at t={t:.2f}: scale {state['s']:.4f}")
             valid = hw.track_mask & ((hw.track_flags & TF_VALID) != 0)
             plane_m = hw.track_mask & ((hw.track_flags & TF_PLANE) != 0)
             bg = np.linalg.norm(hw.bg[hw.n_frames - 1])
             ba = np.linalg.norm(hw.ba[hw.n_frames - 1])
-            # window-median inverse depth of valid tracks (scale canary)
             invd = hw.inv_depth[valid | plane_m]
             invd_med = float(np.median(invd)) if len(invd) else np.nan
+            if state["R"] is not None:
+                pw = state["s"] * state["R"] @ est_p + state["tr"]
+                vw = state["s"] * state["R"] @ np.asarray(
+                    hw.v[hw.n_frames - 1], float)
+                gt_v = scene.v_wb[min(fi, len(scene.v_wb) - 1)]
+                dp = np.linalg.norm(pw - gt_p)
+                dv = np.linalg.norm(vw - gt_v)
+            else:
+                dp = dv = np.nan
+            info = forensics_bus.get("solver_info") or {}
             print(f"kf {self.n_keyframes:4d} t={t:6.2f} "
-                  f"|dp|={np.linalg.norm(est_p - gt_p):7.3f} "
+                  f"dp={dp:7.3f} dv={dv:6.3f} "
                   f"valid={int(valid.sum()):3d} plane_tr={int(plane_m.sum()):3d} "
                   f"planes={int(hw.plane_mask.sum())} "
-                  f"bg={bg:.4f} ba={ba:.3f} invd_med={invd_med:.3f}",
+                  f"bg={bg:.4f} ba={ba:.3f} invd_med={invd_med:.3f} "
+                  f"cost {info.get('initial_cost', -1):9.1f} -> "
+                  f"{info.get('final_cost', -1):9.1f} "
+                  f"it={int(info.get('iterations', -1))}",
                   flush=True)
         return ok
 
     swt_mod.SlidingWindowTracker.track_finish = traced_finish
+
+    # per-frame churn attribution inside [--churn-from, --churn-to)
+    from pvio_tpu.core import host_window as hwmod
+
+    _rel_by = {}
+    _orig_release = hwmod.HostWindow.release_column
+
+    def traced_release(self, c):
+        caller = sys._getframe(1).f_code.co_name
+        nobs = int((self.obs_mask[:, c] & self.frame_mask).sum())
+        q = self.quality[c]
+        key = (caller, int(self.track_flags[c]) & 3, nobs,
+               "inf" if not np.isfinite(q) else round(float(q), 1))
+        _rel_by[key] = _rel_by.get(key, 0) + 1
+        return _orig_release(self, c)
+
+    hwmod.HostWindow.release_column = traced_release
+
+    _orig_tf2 = swt_mod.SlidingWindowTracker.track_finish
+
+    def churn_finish(self, pend, fetched=None):
+        hw = self.hw
+        t = pend["raw_new"].t
+        on = args.churn_from <= t < args.churn_to
+        if on:
+            vb = (hw.track_mask
+                  & ((hw.track_flags & (TF_VALID | TF_PLANE)) != 0)).copy()
+            _rel_by.clear()
+        ok = _orig_tf2(self, pend, fetched=fetched)
+        if on:
+            va = hw.track_mask & ((hw.track_flags & (TF_VALID | TF_PLANE)) != 0)
+            lost = vb & ~va
+            qv = hw.quality[va] if va.any() else np.array([np.nan])
+            ninf = int(np.isinf(hw.quality[vb & hw.track_mask]).sum())                 if vb.any() else 0
+            print(f"  [churn] t={t:.2f} valid {int(vb.sum())}->{int(va.sum())}"
+                  f" lost={int(lost.sum())} q_p50={np.nanmedian(qv):.2f}"
+                  f" q_p90={np.nanpercentile(qv, 90):.2f} q_inf(before)={ninf}",
+                  flush=True)
+            for k, v in sorted(_rel_by.items(), key=lambda kv: -kv[1])[:5]:
+                print(f"      release {v:3d} x (caller={k[0]}, flags={k[1]}, "
+                      f"nobs={k[2]}, qual={k[3]})", flush=True)
+        return ok
+
+    swt_mod.SlidingWindowTracker.track_finish = churn_finish
 
     fi = 0
     for k in range(len(scene.imu_t)):
