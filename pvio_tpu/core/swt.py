@@ -30,6 +30,7 @@ class SlidingWindowTracker:
         self.planes = plane_extractor
         self.skipped_frames = 0
         self.n_keyframes = 0    # keyframe decisions made (test observability)
+        self.unhealthy_keyframes = 0  # consecutive starved keyframes
         self._fresh_tri = None  # post-solve triangulations from ba_step
         # (t, q, p, v, bg, ba) of the newest optimized frame, for predict_pose
         tail = self.hw.n_frames - 1
@@ -202,13 +203,44 @@ class SlidingWindowTracker:
             self._write_observations(slot, obs2)
             self._apply_triangulation(tri_inv_d, tri_ok, tri_track_id, tri_ref_fid)
 
-        # --- prune tracks with quality > 3.0 (:123-125, map.cpp:125-135) ---
-        # vectorized predicate; only released columns loop (dict bookkeeping)
-        bad = hw.track_mask & (
-            (hw.quality > 3.0)
-            | ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0))
+        # --- prune tracks with quality > 3.0 (:123-125, map.cpp:125-135),
+        # with a triangulation grace window for immature tracks
+        # (Config.track_grace_life; the reference's cull-on-first-failure
+        # starves the map under rotation-dominated stress — see the
+        # config docstring and PERF_NOTES round 5) ---
+        immature = hw.track_mask & (
+            (hw.track_flags & (TF_VALID | TF_PLANE)) == 0)
+        grace = int(getattr(cfg, "track_grace_life", 0))
+        bad = hw.track_mask & (hw.quality > 3.0)
+        bad |= immature & (hw.track_life >= max(grace, 2))
+        # capacity valve: graced immature tracks must not exhaust the
+        # column pool — cull oldest-immature-first below the floor
+        min_free = int(getattr(cfg, "track_min_free_columns", 0))
+        free_after = hw.T - int((hw.track_mask & ~bad).sum())
+        if free_after < min_free:
+            cand = np.nonzero(immature & ~bad)[0]
+            if len(cand):
+                order = cand[np.argsort(-hw.track_life[cand])]
+                bad[order[: min_free - free_after]] = True
         for c in np.nonzero(bad)[0]:
             hw.release_column(int(c))
+
+        # --- failure backstop (SURVEY §5): persistent landmark
+        # starvation is tracking loss — re-init beats silent divergence
+        # (measured: the 60 s golden limped at <20 landmarks from t=41
+        # on and spiraled to 7 m ATE; a re-init recovers a fresh gauge) ---
+        if is_keyframe:
+            n_valid_now = int((hw.track_mask & (
+                (hw.track_flags & (TF_VALID | TF_PLANE)) != 0)).sum())
+            floor = int(getattr(cfg, "track_health_min_landmarks", 0))
+            if floor > 0 and n_valid_now < floor:
+                self.unhealthy_keyframes += 1
+                if (self.unhealthy_keyframes
+                        >= int(cfg.track_health_max_keyframes)):
+                    forensics.set("tracking_health_reinit", True)
+                    return False
+            else:
+                self.unhealthy_keyframes = 0
 
         if tail_was_keyframe and self.planes is not None:
             self.planes.merge_planes(self.hw)

@@ -169,6 +169,29 @@ class Config:
     keyframe_parallax_px: float = 50.0
     keyframe_max_skipped: int = 10
 
+    # --- map-survival hygiene (beyond-reference; round-5 long-horizon
+    # fix — see PERF_NOTES round 5) ---
+    # The reference culls every not-yet-triangulated track on every
+    # track() pass (sliding_window_tracker.cpp:123-125, map.cpp:125-135),
+    # so a young track gets exactly ONE triangulation attempt (its 2nd
+    # observation) before release. Under rotation-dominated stress the
+    # attempt fails for most candidates and the map starves: thin map =>
+    # common-track keyframe gate fires every frame => cull spam => death
+    # spiral (measured: 60 s golden collapsed at t~36 with this policy).
+    # Grace: immature tracks survive until track_life (total observation
+    # count, track.cpp:36) reaches this bound, retrying triangulation
+    # with a growing baseline each frame. 0 restores reference behavior.
+    track_grace_life: int = 6
+    # capacity valve: never let graced immature tracks exhaust the column
+    # pool — cull oldest-immature-first below this free-column floor
+    track_min_free_columns: int = 24
+    # failure backstop (SURVEY §5 failure detection): this many
+    # consecutive KEYFRAMES with fewer valid landmarks than the floor
+    # declares tracking lost -> clean re-init (frontend_worker.cpp:71-77)
+    # instead of silent divergence. 0 disables.
+    track_health_min_landmarks: int = 8
+    track_health_max_keyframes: int = 8
+
     def __post_init__(self):
         if self.window_frame_capacity == 0:
             self.window_frame_capacity = self.sliding_window_size + 1
