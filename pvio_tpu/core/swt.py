@@ -31,6 +31,7 @@ class SlidingWindowTracker:
         self.skipped_frames = 0
         self.n_keyframes = 0    # keyframe decisions made (test observability)
         self.unhealthy_keyframes = 0  # consecutive starved keyframes
+        self.peak_valid = 0           # running peak landmark population
         self._fresh_tri = None  # post-solve triangulations from ba_step
         # (t, q, p, v, bg, ba) of the newest optimized frame, for predict_pose
         tail = self.hw.n_frames - 1
@@ -227,20 +228,26 @@ class SlidingWindowTracker:
 
         # --- failure backstop (SURVEY §5): persistent landmark
         # starvation is tracking loss — re-init beats silent divergence
-        # (measured: the 60 s golden limped at <20 landmarks from t=41
-        # on and spiraled to 7 m ATE; a re-init recovers a fresh gauge) ---
+        # (measured: the 60 s golden limped at ~20 landmarks from t=43
+        # on and spiraled to 7 m ATE; a re-init recovers a fresh gauge).
+        # The floor self-scales as a fraction of the map's RUNNING PEAK
+        # population, so the same default serves a 250-track production
+        # window and a 50-track test window without retuning. ---
         if is_keyframe:
             n_valid_now = int((hw.track_mask & (
                 (hw.track_flags & (TF_VALID | TF_PLANE)) != 0)).sum())
+            self.peak_valid = max(self.peak_valid, n_valid_now)
             floor = int(getattr(cfg, "track_health_min_landmarks", 0))
-            if floor > 0 and n_valid_now < floor:
-                self.unhealthy_keyframes += 1
-                if (self.unhealthy_keyframes
-                        >= int(cfg.track_health_max_keyframes)):
-                    forensics.set("tracking_health_reinit", True)
-                    return False
-            else:
-                self.unhealthy_keyframes = 0
+            if floor > 0:
+                floor = max(floor, int(0.15 * self.peak_valid))
+                if n_valid_now < floor:
+                    self.unhealthy_keyframes += 1
+                    if (self.unhealthy_keyframes
+                            >= int(cfg.track_health_max_keyframes)):
+                        forensics.set("tracking_health_reinit", True)
+                        return False
+                else:
+                    self.unhealthy_keyframes = 0
 
         if tail_was_keyframe and self.planes is not None:
             self.planes.merge_planes(self.hw)

@@ -188,7 +188,10 @@ class Config:
     # failure backstop (SURVEY §5 failure detection): this many
     # consecutive KEYFRAMES with fewer valid landmarks than the floor
     # declares tracking lost -> clean re-init (frontend_worker.cpp:71-77)
-    # instead of silent divergence. 0 disables.
+    # instead of silent divergence. The effective floor self-scales:
+    # max(track_health_min_landmarks, 15% of the running peak landmark
+    # population), so one default serves production and test window
+    # sizes. 0 disables.
     track_health_min_landmarks: int = 8
     track_health_max_keyframes: int = 8
 

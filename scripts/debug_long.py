@@ -33,8 +33,15 @@ def main():
                     metavar="KEY=VAL", help="config overrides")
     ap.add_argument("--churn-from", type=float, default=1e9)
     ap.add_argument("--churn-to", type=float, default=1e9)
+    ap.add_argument("--gt-imu-check", action="store_true",
+                    help="each keyframe, preintegrate the ENGINE's window "
+                         "spans at zero bias and report the worst residual "
+                         "vs ground truth (nonzero = span plumbing bug)")
     ap.add_argument("--agg-scale", type=float, default=1.0,
                     help="burst amplitude (0 = no aggressive segment)")
+    ap.add_argument("--pinhole", action="store_true",
+                    help="with --render: render UNDISTORTED pinhole frames "
+                         "directly (no distort->undistort resampling chain)")
     ap.add_argument("--render", action="store_true",
                     help="render frames instead of using --cache (for "
                          "scene variants with no cache)")
@@ -68,11 +75,16 @@ def main():
         images = []
         for fi in range(n_render + 1 if n_render < len(scene.frame_t)
                         else n_render):
-            img = synthetic.render_frame_room(
-                scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
-                distortion=cfg.camera_distortion,
-                distortion_model=cfg.camera_distortion_model)
-            images.append(und.apply((img * 255.0 + 0.5).astype(np.uint8)))
+            if args.pinhole:
+                img = synthetic.render_frame_room(
+                    scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc)
+                images.append((img * 255.0 + 0.5).astype(np.uint8))
+            else:
+                img = synthetic.render_frame_room(
+                    scene, fi, cfg.K, cfg.image_size, q_bc=q_bc, p_bc=p_bc,
+                    distortion=cfg.camera_distortion,
+                    distortion_model=cfg.camera_distortion_model)
+                images.append(und.apply((img * 255.0 + 0.5).astype(np.uint8)))
             if (fi + 1) % 100 == 0:
                 print(f"  rendered {fi + 1}/{n_render}", flush=True)
     else:
@@ -125,6 +137,36 @@ def main():
                 dv = np.linalg.norm(vw - gt_v)
             else:
                 dp = dv = np.nan
+            gt_res = ""
+            if args.gt_imu_check:
+                from pvio_tpu.imu import preintegration as pre
+                import jax.numpy as jnp
+                noise = pre.ImuNoise(
+                    cov_w=jnp.asarray(cfg.imu_cov_g), cov_a=jnp.asarray(cfg.imu_cov_a),
+                    cov_bg=jnp.asarray(cfg.imu_cov_bg), cov_ba=jnp.asarray(cfg.imu_cov_ba))
+                Gv = np.array([0.0, 0.0, -pre.GRAVITY_NOMINAL])
+                worst = 0.0
+                z3 = jnp.zeros(3)
+                for j in range(1, hw.n_frames):
+                    tsj = hw.imu_ts[j]
+                    if tsj is None or len(tsj) == 0:
+                        continue
+                    d = pre.preintegrate(
+                        jnp.asarray(tsj), jnp.asarray(hw.imu_w[j]),
+                        jnp.asarray(hw.imu_a[j]),
+                        jnp.ones(len(tsj), bool),
+                        jnp.asarray(float(hw.frame_t[j])), z3, z3, noise,
+                        compute_covariance=False)
+                    f0 = int(round(float(hw.frame_t[j - 1]) * 20.0))
+                    f1 = int(round(float(hw.frame_t[j]) * 20.0))
+                    q0, p0, v0 = scene.q_wb[f0], scene.p_wb[f0], scene.v_wb[f0]
+                    p1c, v1c = scene.p_wb[f1], scene.v_wb[f1]
+                    dtj = float(hw.frame_t[j]) - float(hw.frame_t[j - 1])
+                    R0T = nplie.quat_to_mat(q0).T
+                    pres = R0T @ (p1c - p0 - v0 * dtj - 0.5 * Gv * dtj * dtj)                         - np.asarray(d.p)
+                    vres = R0T @ (v1c - v0 - Gv * dtj) - np.asarray(d.v)
+                    worst = max(worst, np.linalg.norm(pres), np.linalg.norm(vres))
+                gt_res = f" gtres={worst:.2e}"
             info = forensics_bus.get("solver_info") or {}
             print(f"kf {self.n_keyframes:4d} t={t:6.2f} "
                   f"dp={dp:7.3f} dv={dv:6.3f} "
@@ -133,7 +175,7 @@ def main():
                   f"bg={bg:.4f} ba={ba:.3f} invd_med={invd_med:.3f} "
                   f"cost {info.get('initial_cost', -1):9.1f} -> "
                   f"{info.get('final_cost', -1):9.1f} "
-                  f"it={int(info.get('iterations', -1))}",
+                  f"it={int(info.get('iterations', -1))}" + gt_res,
                   flush=True)
         return ok
 
