@@ -103,6 +103,25 @@ def _smoothstep(x):
     return x * x * (3.0 - 2.0 * x)
 
 
+def _pause_warp(t, a0=47.0, a1=48.5, b1=50.5, b0=52.0, depth=0.8):
+    """C^1 time-warp tau(t) = t - depth * integral(bump) implementing a
+    slow-down to (1-depth) speed over [a0, b0] (trapezoidal speed
+    profile: ramp a0->a1, hold a1->b1, ramp b1->b0). The path is
+    unchanged; only traversal speed drops — so every state before a0 is
+    bit-identical with or without the pause."""
+    r = a1 - a0
+    i1 = (t - a0) ** 2 / (2 * r)
+    i2 = r / 2 + (t - a1)
+    i3 = r / 2 + (b1 - a1) + (r / 2 - (b0 - t) ** 2 / (2 * r))
+    i4 = r + (b1 - a1)
+    integ = np.where(
+        t <= a0, 0.0,
+        np.where(t <= a1, i1,
+                 np.where(t <= b1, i2,
+                          np.where(t <= b0, i3, i4))))
+    return t - depth * integ
+
+
 def _traj_pose(t, span=5.0, traj_scale=1.0, init_ramp=0.0,
                long_profile=False, agg_scale=1.0):
     """Smooth analytic trajectory: oval + yaw sweep + gentle roll, with
@@ -119,10 +138,16 @@ def _traj_pose(t, span=5.0, traj_scale=1.0, init_ramp=0.0,
     traj_scale).
 
     long_profile: superimpose slow incommensurate center drift (the
-    base oval revisits displaced loops instead of retracing itself) and
-    an aggressive yaw/pitch oscillation burst around t = 25-35 s — the
-    loop + hard-segment structure of a 60+ s EuRoC-style sequence."""
+    base oval revisits displaced loops instead of retracing itself), an
+    aggressive yaw/pitch oscillation burst around t = 25-35 s, and a
+    slow-down window at t = 47-52 s (a C^1 time-warp traversing the same
+    path at ~20% speed — the hover pause every real MAV sequence
+    contains, and the <1 m-baseline window a production re-init needs,
+    initializer.cpp:216) — the loop + hard-segment + pause structure of
+    a 60+ s EuRoC-style sequence."""
     t = np.asarray(t, np.float64)
+    if long_profile:
+        t = _pause_warp(t)
     w = 2 * np.pi / span
     p = np.stack(
         [1.2 * np.sin(w * t), 0.8 * np.sin(2 * w * t), 0.25 * np.sin(w * t + 0.4)],
