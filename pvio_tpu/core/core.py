@@ -18,6 +18,7 @@ import numpy as np
 
 from pvio_tpu.core.feature_tracker import FeatureTracker
 from pvio_tpu.core.frontend_worker import FrontendWorker
+from pvio_tpu.core.swt import pend_fetch_arrays
 from pvio_tpu.core.kernels import DeviceKernels
 from pvio_tpu.geometry import nplie
 from pvio_tpu.imu.preintegration import GRAVITY_NOMINAL
@@ -197,7 +198,7 @@ class Core:
         handle = self._ft_queue.popleft()
         pend, self._swt_pending = self._swt_pending, None
         ft_arrays = self.feature_tracker.handle_arrays(handle)
-        pnp_arrays = pend["pnp_out"] if pend is not None else ()
+        pnp_arrays = pend_fetch_arrays(pend) if pend is not None else ()
         ft_vals, pnp_vals = jax.device_get((ft_arrays, pnp_arrays))
         with forensics.timer("feature_tracker_time"):
             rf_prev = self.feature_tracker.finish_frame(handle,

@@ -192,12 +192,24 @@ class HostWindow:
 
         `extra`: optional pytree of device values fetched in the SAME
         round trip and returned as host arrays."""
-        fetched, extra_h = jax.device_get((
-            (w.q, w.p, w.v, w.bg, w.ba, w.inv_depth,
-             w.track_flags, w.quality, w.ref_frame,
-             w.track_mask, w.kp, w.obs_mask, w.plane_id,
-             w.plane_normal, w.plane_distance,
-             w.plane_mask, w.frame_mask), extra))
+        fetched, extra_h = jax.device_get((self.device_arrays(w), extra))
+        return self.apply_fetched(w, fetched, extra_h)
+
+    @staticmethod
+    def device_arrays(w: win.WindowState):
+        """The device arrays a from_device(w) fetches — exposed so a
+        caller can batch them into ONE jax.device_get with other stages'
+        results (Config.chained_keyframe: the keyframe harvest rides the
+        next frame's combined fetch)."""
+        return (w.q, w.p, w.v, w.bg, w.ba, w.inv_depth,
+                w.track_flags, w.quality, w.ref_frame,
+                w.track_mask, w.kp, w.obs_mask, w.plane_id,
+                w.plane_normal, w.plane_distance,
+                w.plane_mask, w.frame_mask)
+
+    def apply_fetched(self, w: win.WindowState, fetched, extra_h=None):
+        """Apply pre-fetched host values of device_arrays(w) to the host
+        mirrors (the second half of from_device)."""
         # np.array: the fetched buffers can be read-only views; the host
         # window mutates them in place
         (self.q, self.p, self.v, self.bg, self.ba, self.inv_depth,

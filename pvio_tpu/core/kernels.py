@@ -582,6 +582,31 @@ class DeviceKernels:
 
         self.kf_step = jax.jit(kf_step, static_argnums=(22, 23))
 
+        def kf_step_chained(w, ts, ws, accs, mask, t_frames,
+                            ts2, ws2, accs2, mask2, t_frames2,
+                            nf_q, nf_p, nf_v, nf_bg, nf_ba,
+                            nf_kp, nf_obs, tri_depth, tri_ok,
+                            tri_mask_host, track_life, slot,
+                            make_prior, do_marg):
+            """kf_step chained directly on the motion step's DEVICE
+            outputs (Config.chained_keyframe): nf_q..nf_ba and
+            tri_depth/tri_ok are the pnp_step return arrays, never
+            round-tripped through the host. The triangulation-adoption
+            mask is completed in-graph (the host can compute every guard
+            except tri_ok at dispatch time), everything else is
+            kf_step verbatim — so results are bit-identical to the
+            fetch-then-re-upload fused path while the host's only
+            synchronization stays the ONE deferred combined fetch."""
+            tri_mask = tri_mask_host & tri_ok.astype(bool)
+            return kf_step(w, ts, ws, accs, mask, t_frames,
+                           ts2, ws2, accs2, mask2, t_frames2,
+                           nf_q, nf_p, nf_v, nf_bg, nf_ba,
+                           nf_kp, nf_obs, tri_depth, tri_mask,
+                           track_life, slot, make_prior, do_marg)
+
+        self.kf_step_chained = jax.jit(kf_step_chained,
+                                       static_argnums=(23, 24))
+
         # keyframe parallax gating is done on host with numpy (tiny math,
         # sliding_window_tracker.cpp:262-283)
 

@@ -110,15 +110,29 @@ class SlidingWindowTracker:
                 a.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 pass
-        return dict(raw_new=raw_new, pnp_out=pnp_out, new_obs=new_obs,
+        pend = dict(raw_new=raw_new, pnp_out=pnp_out, new_obs=new_obs,
                     tri_track_id=tri_track_id, tri_ref_fid=tri_ref_fid,
                     kf_slots=kf_slots)
+        # chained keyframe (Config.chained_keyframe): when the tail is a
+        # declared keyframe, dispatch the fused keyframe step NOW,
+        # feeding it the motion step's device outputs directly — its
+        # results ride the same deferred fetch as the motion step's, so
+        # the keyframe costs no extra blocking round trip (VERDICT r4
+        # item 8). The host bookkeeping moves to track_finish.
+        if (bool(getattr(cfg, "chained_keyframe", False))
+                and bool(getattr(cfg, "fused_keyframe", False))
+                and bool(hw.keyframe[tail])
+                and hw.n_frames <= cfg.window_frame_capacity):
+            self._dispatch_keyframe_chained(pend)
+        return pend
 
     def track_finish(self, pend, fetched=None):
         """Second half of track(): harvest the motion-step results and run
         the keyframe/window bookkeeping. Returns False on failure.
         `fetched`: optional pre-fetched host values of pend["pnp_out"]
         (lets the caller batch the fetch with other stages' results)."""
+        if "kf" in pend:
+            return self._finish_keyframe_chained(pend, fetched)
         cfg = self.cfg
         hw = self.hw
         raw_new = pend["raw_new"]
@@ -204,6 +218,15 @@ class SlidingWindowTracker:
             self._write_observations(slot, obs2)
             self._apply_triangulation(tri_inv_d, tri_ok, tri_track_id, tri_ref_fid)
 
+        return self._post_track(is_keyframe, tail_was_keyframe)
+
+    def _post_track(self, is_keyframe, tail_was_keyframe):
+        """Shared tail of track_finish: track pruning, the landmark-
+        starvation health backstop, keyframe plane upkeep and the
+        latest-state publish. Returns False when the backstop declares
+        tracking lost."""
+        cfg = self.cfg
+        hw = self.hw
         # --- prune tracks with quality > 3.0 (:123-125, map.cpp:125-135),
         # with a triangulation grace window for immature tracks
         # (Config.track_grace_life; the reference's cull-on-first-failure
@@ -373,6 +396,130 @@ class SlidingWindowTracker:
             self.planes.store_pending_result(pend_h)
         self._emit_solver_forensics(info, xw)
 
+    def _dispatch_keyframe_chained(self, pend):
+        """Dispatch the fused keyframe step chained on the motion step's
+        DEVICE outputs (Config.chained_keyframe). Runs at track_dispatch
+        time: the keyframe's results ride the SAME deferred combined
+        fetch as the motion step's, so a keyframe costs the same single
+        blocking synchronization as any other frame (VERDICT r4 item 8).
+        All host bookkeeping — window mirrors, prune, plane upkeep, the
+        keyframe decision itself, the NaN failure check — moves to
+        _finish_keyframe_chained.
+
+        Semantics are _keyframe_fused's exactly (including its two
+        documented deviations): every host value it computes at finish
+        time is computed here at dispatch time instead, and nothing the
+        fused path reads can change in between — the host mutates the
+        window only inside dispatch/finish steps, which never
+        interleave with this one."""
+        cfg, hw = self.cfg, self.hw
+        raw_new = pend["raw_new"]
+        new_obs = pend["new_obs"]
+        pnp_out = pend["pnp_out"]
+        do_marg = hw.n_frames >= cfg.window_frame_capacity
+        slot = (cfg.window_frame_capacity - 1) if do_marg else hw.n_frames
+
+        pend_dev = None
+        if self.planes is not None:
+            # same placement as the fused path: promote/extend mutate the
+            # host window AFTER the motion step's upload (which therefore
+            # sees the pre-promote state, exactly like _keyframe_fused)
+            self.planes.promote_pending(hw)
+            self.planes.extend_planes(hw)
+
+        dt_np = hw.dtype
+        nf_kp = np.zeros((hw.T, 2), dt_np)
+        nf_obs = np.zeros(hw.T, bool)
+        for col, z in new_obs:
+            nf_kp[col] = z
+            nf_obs[col] = True
+
+        # _apply_triangulation guards minus tri_ok (ANDed in-graph by
+        # kf_step_chained). The `unchanged` snapshot guard is trivially
+        # true here: this runs in the same dispatch step the snapshots
+        # were taken in, before any topology mutation.
+        obs_alive = hw.obs_mask & hw.frame_mask[:, None]
+        obs_surv = (obs_alive[1:] if do_marg else obs_alive).sum(axis=0)
+        n_obs_final = obs_surv + nf_obs
+        tri_mask_host = (hw.track_mask & (n_obs_final >= 2)
+                         & ((hw.track_flags & (TF_VALID | TF_PLANE)) == 0))
+        if do_marg:
+            tri_mask_host &= hw.ref_frame != 0
+
+        life2 = (hw.track_life + nf_obs.astype(np.int32)).astype(np.int32)
+        ops1 = self._imu_ops_host()
+        ops2 = self._imu_ops_post_append(do_marg, raw_new)
+        make_prior = not hw.prior_valid
+
+        w, ops = hw.to_device(extra=ops1 + ops2 + (
+            nf_kp, nf_obs, tri_mask_host, life2, np.int32(slot)))
+        if self.planes is not None:
+            pend_dev = self.planes.issue_detection(hw)
+        (ts, ws, accs, mask, t_frames, ts2, ws2, accs2, mask2, t_frames2,
+         nf_kp_d, nf_obs_d, tri_mask_d, life2_d, slot_d) = ops
+        q1d, p1d, v1d, bg1d, ba1d = pnp_out[0:5]
+        tri_depth_d, tri_ok_d = pnp_out[6], pnp_out[7]
+        with forensics.timer("bundle_adjustor_solve_time"):
+            w_out, info, xw_dev, tri_dev = self.k.kf_step_chained(
+                w, ts, ws, accs, mask, t_frames,
+                ts2, ws2, accs2, mask2, t_frames2,
+                q1d, p1d, v1d, bg1d, ba1d,
+                nf_kp_d, nf_obs_d, tri_depth_d, tri_ok_d, tri_mask_d,
+                life2_d, slot_d, make_prior, do_marg)
+        fetch = (HostWindow.device_arrays(w_out), info, xw_dev, tri_dev,
+                 pend_dev)
+        for a in jax.tree.leaves(fetch):
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        pend["kf"] = dict(fetch=fetch, w_out=w_out, do_marg=do_marg,
+                          slot=slot, life2=life2)
+
+    def _finish_keyframe_chained(self, pend, fetched=None):
+        """Harvest a chained keyframe: the motion-step statistics
+        (keyframe decision, NaN failure check) and the keyframe step's
+        results apply together, one frame after dispatch. `fetched`:
+        optional pre-fetched host values of pend_fetch_arrays(pend)."""
+        hw = self.hw
+        kf = pend["kf"]
+        raw_new = pend["raw_new"]
+        if fetched is None:
+            fetched = jax.device_get(pend_fetch_arrays(pend))
+        pnp_vals, kf_vals = fetched
+        (q1, p1, v1, bg1, ba1, delta_q, tri_inv_d, tri_ok, p80_px,
+         n_common) = [np.array(a) for a in pnp_vals]
+        if not (np.isfinite(q1).all() and np.isfinite(p1).all()):
+            # the dispatched keyframe solve was garbage-in; nothing was
+            # applied to the host window — the sequential path re-inits
+            # here too, from the identical un-mutated state
+            return False
+        is_keyframe = self._keyframe_check(
+            bool(len(pend["kf_slots"]) == 0), float(p80_px), int(n_common))
+        if is_keyframe:
+            self.n_keyframes += 1
+
+        win_vals, info, xw, fresh_tri, pend_h = kf_vals
+        hw.apply_fetched(kf["w_out"], win_vals)
+        self._fresh_tri = fresh_tri
+        do_marg, slot = kf["do_marg"], kf["slot"]
+        if do_marg:
+            hw.shift_after_marginalize(0)
+        hw.frame_id[slot] = raw_new.id
+        hw.frame_t[slot] = raw_new.t
+        hw.keyframe[slot] = is_keyframe
+        hw.imu_ts[slot] = np.asarray(raw_new.imu_ts, np.float64)
+        hw.imu_w[slot] = np.asarray(raw_new.imu_w)
+        hw.imu_a[slot] = np.asarray(raw_new.imu_a)
+        hw.track_life = kf["life2"]
+        hw.prior_valid = True
+        if do_marg:
+            hw._refresh_track_columns()
+        if self.planes is not None:
+            self.planes.store_pending_result(pend_h)
+        self._emit_solver_forensics(info, xw)
+        return self._post_track(is_keyframe, True)
+
     def _imu_ops_post_append(self, do_marg, raw_new):
         """IMU grids in the POST-(marginalize+append) slot layout,
         built WITHOUT mutating the window (the fused keyframe step needs
@@ -529,3 +676,17 @@ class SlidingWindowTracker:
         self.hw.prior_valid = True
         self.hw.shift_after_marginalize(0)
         self.hw._refresh_track_columns()
+
+
+def pend_fetch_arrays(pend):
+    """The device arrays track_finish(pend) will consume — exposed so the
+    Core host loop can batch them into ONE jax.device_get with the
+    frontend stage's results (each device_get CALL costs a full tunnel
+    round trip regardless of payload). Plain pends fetch the motion-step
+    outputs; chained keyframes (Config.chained_keyframe) additionally
+    fetch the keyframe step's results in the same trip."""
+    if "kf" in pend:
+        return (pend["pnp_out"], pend["kf"]["fetch"])
+    return pend["pnp_out"]
+
+

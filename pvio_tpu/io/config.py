@@ -142,6 +142,19 @@ class Config:
     # pre-marginalization window and victim-referenced triangulation
     # adoptions defer one frame (see swt._keyframe_fused docstring).
     fused_keyframe: bool = False
+    # chain the fused keyframe step (kernels.kf_step) directly on the
+    # motion step's DEVICE outputs instead of fetching them first:
+    # 2 dispatches, ONE combined deferred fetch — removes the extra
+    # blocking keyframe round trip, so every frame (keyframes included)
+    # costs exactly one device->host synchronization (VERDICT r4 item 8:
+    # "overlap the keyframe fetch with the next frame's frontend").
+    # Requires fused_keyframe; outputs are bit-identical to the
+    # non-chained fused path (the chained kernel consumes the same
+    # values without the host round trip; device->host->device of
+    # f32/f64 is exact). The keyframe decision, NaN failure check and
+    # all host bookkeeping move to the harvest, one frame later — the
+    # same ops in the same order, only the blocking point moves.
+    chained_keyframe: bool = False
     # estimate plane normal/distance inside the BA solve (3-dof tangent
     # per armed plane in the reduced camera system). The reference holds
     # them constant and hard-refits on the host between solves; joint

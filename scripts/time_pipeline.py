@@ -57,6 +57,10 @@ def main():
                     help="disable the pipelined host loop")
     ap.add_argument("--fused-kf", action="store_true",
                     help="fuse marginalize+append+BA into one keyframe dispatch")
+    ap.add_argument("--chained-kf", action="store_true",
+                    help="chain the fused keyframe on the motion step's "
+                         "device outputs (implies --fused-kf): one combined "
+                         "deferred fetch per frame, keyframes included")
     ap.add_argument("--duration", type=float, default=6.0)
     args = ap.parse_args()
 
@@ -74,7 +78,8 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     cfg = synthetic.pipeline_config()
     cfg.pipelined_host = not args.sequential
-    cfg.fused_keyframe = bool(args.fused_kf)
+    cfg.fused_keyframe = bool(args.fused_kf or args.chained_kf)
+    cfg.chained_keyframe = bool(args.chained_kf)
     if args.no_planes:
         cfg.enable_plane_constraint = False
     scene = synthetic.make_scene(duration=args.duration, n_points=320)

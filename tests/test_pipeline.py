@@ -225,6 +225,38 @@ def test_fused_keyframe_pipeline():
 
 
 @pytest.mark.slow
+def test_chained_keyframe_bit_identical():
+    """Config.chained_keyframe: the fused keyframe step consuming the
+    motion step's DEVICE outputs (kernels.kf_step_chained, one combined
+    deferred fetch per frame) must produce BIT-IDENTICAL trajectories
+    and keyframe schedules to the fetch-then-re-upload fused path — the
+    chained kernel sees the same values (device->host->device of f64 is
+    exact), and every host guard it computes at dispatch time equals the
+    fused path's finish-time computation (no window mutation can
+    interleave). Exercised through the sequential track() path here;
+    the Core pipelined loop is covered by the pipelined variant below
+    plus test_pipelined_host_bit_identical."""
+    from pvio_tpu.io import synthetic as syn
+
+    def run(chained):
+        cfg = small_config()
+        cfg.fused_keyframe = True
+        cfg.chained_keyframe = chained
+        scene = syn.make_scene(duration=3.0, fps=20.0, imu_rate=200.0,
+                               n_points=320, seed=648)
+        fw, outputs = run_oracle(cfg, scene, kp_noise_px=0.3)
+        assert fw.initialized and fw.n_reinits == 0
+        return outputs, fw.swt.n_keyframes
+
+    out_fused, kf_fused = run(False)
+    out_chained, kf_chained = run(True)
+    assert kf_chained == kf_fused
+    assert len(out_chained) == len(out_fused)
+    for (t1, p1), (t2, p2) in zip(out_fused, out_chained):
+        assert t1 == t2
+        np.testing.assert_array_equal(p1, p2, err_msg=f"t={t1}")
+
+
 def test_pipelined_host_bit_identical():
     """Config.pipelined_host: the latency-hiding dispatch/finish split
     (core/core.py:_process_frame/_advance_pipeline/flush) must produce
@@ -276,3 +308,53 @@ def test_pipelined_host_bit_identical():
                                           err_msg=f"depth {depth}, t={t1}")
             np.testing.assert_array_equal(q1, q2,
                                           err_msg=f"depth {depth}, t={t1}")
+
+
+@pytest.mark.slow
+def test_pipelined_chained_keyframe_bit_identical():
+    """The full production fast path — pipelined host loop (depth 2) +
+    fused keyframe + chained keyframe — must stay BIT-IDENTICAL to the
+    sequential fused run through the Core loop, including a blackout
+    with a chained keyframe potentially in flight during tracking loss
+    and re-init."""
+    scene = synthetic.make_scene(duration=5.0, fps=20.0, imu_rate=200.0,
+                                 n_points=320, seed=648)
+    blackout = range(55, 61)
+
+    def run(pipelined, chained):
+        cfg = small_config()
+        cfg.fused_keyframe = True
+        cfg.chained_keyframe = chained
+        cfg.pipelined_host = pipelined
+        cfg.pipeline_depth = 2
+        vio = PVIO(cfg)
+        if vio.core.hub is None:
+            pytest.skip("native sensor hub unavailable "
+                        "(pipelined path requires csrc build)")
+        fi = 0
+        H, W = cfg.image_size[1], cfg.image_size[0]
+        for k in range(len(scene.imu_t)):
+            t = scene.imu_t[k]
+            vio.track_gyroscope(t, *scene.gyro[k])
+            vio.track_accelerometer(t, *scene.accel[k])
+            while fi < len(scene.frame_t) and scene.frame_t[fi] <= t:
+                if fi in blackout:
+                    img = np.zeros((H, W), np.float32)
+                else:
+                    img = synthetic.render_frame(scene, fi, cfg.K,
+                                                 cfg.image_size)
+                vio.track_camera(scene.frame_t[fi], img)
+                fi += 1
+        traj = vio.get_trajectory()
+        return traj, vio.core.frontend.n_reinits, vio.initialized
+
+    traj_seq, reinits_seq, init_seq = run(False, False)
+    assert init_seq and reinits_seq >= 1, (
+        "scene must exercise a re-init segment")
+    traj_ch, reinits_ch, init_ch = run(True, True)
+    assert init_ch and reinits_ch == reinits_seq
+    assert len(traj_ch) == len(traj_seq), (len(traj_ch), len(traj_seq))
+    for (t1, q1, p1), (t2, q2, p2) in zip(traj_seq, traj_ch):
+        assert t1 == t2
+        np.testing.assert_array_equal(p1, p2, err_msg=f"t={t1}")
+        np.testing.assert_array_equal(q1, q2, err_msg=f"t={t1}")
