@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--pipelined", action="store_true",
                     help="latency-hiding host pipeline (one frame of "
                          "estimator lag; bit-identical outputs)")
+    ap.add_argument("--fast", action="store_true",
+                    help="full fast path: pipelined host loop + fused + "
+                         "chained keyframe (one combined deferred fetch "
+                         "per frame, keyframes included)")
     ap.add_argument("--plot", default=None, metavar="PNG",
                     help="render the forensics dashboard to this file")
     ap.add_argument("--view3d", default=None, metavar="HTML",
@@ -63,7 +67,10 @@ def main(argv=None):
     cfg = Config.from_yaml(args.config) if args.config else Config()
     if args.dtype is not None:
         cfg.dtype = args.dtype
-    cfg.pipelined_host = bool(args.pipelined)
+    cfg.pipelined_host = bool(args.pipelined or args.fast)
+    if args.fast:
+        cfg.fused_keyframe = True
+        cfg.chained_keyframe = True
     if args.no_planes:
         cfg.enable_plane_constraint = False
 
