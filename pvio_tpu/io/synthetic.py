@@ -103,7 +103,7 @@ def _smoothstep(x):
     return x * x * (3.0 - 2.0 * x)
 
 
-def _pause_warp(t, a0=47.0, a1=48.5, b1=50.5, b0=52.0, depth=0.8):
+def _pause_warp(t, a0=47.0, a1=48.5, b1=52.0, b0=53.5, depth=0.88):
     """C^1 time-warp tau(t) = t - depth * integral(bump) implementing a
     slow-down to (1-depth) speed over [a0, b0] (trapezoidal speed
     profile: ramp a0->a1, hold a1->b1, ramp b1->b0). The path is
@@ -146,6 +146,7 @@ def _traj_pose(t, span=5.0, traj_scale=1.0, init_ramp=0.0,
     initializer.cpp:216) — the loop + hard-segment + pause structure of
     a 60+ s EuRoC-style sequence."""
     t = np.asarray(t, np.float64)
+    t_real = t
     if long_profile:
         t = _pause_warp(t)
     w = 2 * np.pi / span
@@ -164,6 +165,22 @@ def _traj_pose(t, span=5.0, traj_scale=1.0, init_ramp=0.0,
         agg = agg_scale * _smoothstep((t - 25.0) / 3.0) * _smoothstep((35.0 - t) / 3.0)
         yaw = yaw + 0.6 * agg * np.sin(2 * np.pi * t / 3.5)
         pitch = pitch + 0.15 * agg * np.sin(2 * np.pi * t / 2.3 + 0.7)
+        # hover-correction jitter riding the pause (REAL time, so it is
+        # zero before the pause and leaves every earlier state
+        # bit-identical): ~5 cm station-keeping oscillation at ~1 Hz —
+        # what a real MAV hover exhibits from wind/position corrections.
+        # It contributes ~2.4 m/s^2 of accelerometer excitation with a
+        # < 6 cm baseline footprint, making metric scale observable to a
+        # pause-window re-initialization WITHOUT breaching the
+        # reference's < 1 m init-baseline sanity gate
+        # (initializer.cpp:216,221) that the slow traversal speed is
+        # there to satisfy.
+        hov = (_smoothstep((t_real - 47.5) / 1.0)
+               * _smoothstep((52.5 - t_real) / 1.0))
+        p = p + hov[..., None] * np.stack(
+            [0.05 * np.sin(2 * np.pi * 1.1 * t_real),
+             0.05 * np.sin(2 * np.pi * 0.9 * t_real + 0.5),
+             0.025 * np.sin(2 * np.pi * 1.3 * t_real + 1.0)], axis=-1)
     if init_ramp > 0.0:
         env = init_ramp + (1.0 - init_ramp) * _smoothstep(t / 4.0)
         p = p * env[..., None]

@@ -30,6 +30,7 @@ import numpy as np
 import jax
 
 from pvio_tpu.api import PVIO, OutputPose
+from pvio_tpu.core import swt as swt_mod
 from pvio_tpu.io.config import Config
 from pvio_tpu.utils.forensics import bus as forensics
 
@@ -128,7 +129,8 @@ class MultiSequenceServer:
         # Phase D: ONE fetch for the whole fleet's PnP/motion results
         if pends:
             with forensics.timer("serving_pnp_fetch"):
-                vals2 = jax.device_get([p["pnp_out"] for _, p in pends])
+                vals2 = jax.device_get(
+                    [swt_mod.pend_fetch_arrays(p) for _, p in pends])
             # Phase E: keyframe/window bookkeeping per engine (keyframe
             # solves fire independently, only where each gate says so)
             for (i, pend), fv in zip(pends, vals2):
