@@ -260,17 +260,10 @@ class SlidingWindowTracker:
             n_valid_now = int((hw.track_mask & (
                 (hw.track_flags & (TF_VALID | TF_PLANE)) != 0)).sum())
             self.peak_valid = max(self.peak_valid, n_valid_now)
-            floor = int(getattr(cfg, "track_health_min_landmarks", 0))
-            if floor > 0:
-                floor = max(floor, int(0.15 * self.peak_valid))
-                if n_valid_now < floor:
-                    self.unhealthy_keyframes += 1
-                    if (self.unhealthy_keyframes
-                            >= int(cfg.track_health_max_keyframes)):
-                        forensics.set("tracking_health_reinit", True)
-                        return False
-                else:
-                    self.unhealthy_keyframes = 0
+            lost = health_update(self, cfg, n_valid_now)
+            if lost:
+                forensics.set("tracking_health_reinit", True)
+                return False
 
         if tail_was_keyframe and self.planes is not None:
             self.planes.merge_planes(self.hw)
@@ -676,6 +669,51 @@ class SlidingWindowTracker:
         self.hw.prior_valid = True
         self.hw.shift_after_marginalize(0)
         self.hw._refresh_track_columns()
+
+
+def health_update(state, cfg, n_valid_now):
+    """Landmark-starvation health decision (the SURVEY §5 failure
+    backstop), one call per keyframe. Returns True when tracking should
+    be declared lost. `state` carries `peak_valid` (already updated),
+    `unhealthy_keyframes` (consecutive counter) and, lazily,
+    `health_bits` (recent below-floor history for the windowed test).
+
+    Two detectors:
+    - strict-consecutive (default): track_health_max_keyframes
+      below-floor keyframes in a row;
+    - windowed fraction (opt-in, track_health_window > 0): >= frac of
+      the last `window` keyframes below floor. A persistently sick map
+      whose count BOUNCES over the floor resets the consecutive counter
+      every bounce (measured on the 60 s endurance profile's
+      post-re-init runaway, PERF_NOTES "Long-horizon: the post-recovery
+      gauge"); the windowed test still fires.
+
+    The floor self-scales as 15% of the running peak population, so one
+    default serves a 250-track production window and a 50-track test
+    window without retuning."""
+    floor = int(getattr(cfg, "track_health_min_landmarks", 0))
+    if floor <= 0:
+        return False
+    floor = max(floor, int(0.15 * state.peak_valid))
+    below = n_valid_now < floor
+    if below:
+        state.unhealthy_keyframes += 1
+        if state.unhealthy_keyframes >= int(cfg.track_health_max_keyframes):
+            return True
+    else:
+        state.unhealthy_keyframes = 0
+    win = int(getattr(cfg, "track_health_window", 0))
+    if win > 0:
+        bits = getattr(state, "health_bits", None)
+        if bits is None:
+            bits = []
+            state.health_bits = bits
+        bits.append(bool(below))
+        del bits[:-win]
+        frac = float(getattr(cfg, "track_health_frac", 0.7))
+        if len(bits) >= win and sum(bits) >= frac * win:
+            return True
+    return False
 
 
 def pend_fetch_arrays(pend):

@@ -207,6 +207,17 @@ class Config:
     # sizes. 0 disables.
     track_health_min_landmarks: int = 8
     track_health_max_keyframes: int = 8
+    # windowed-fraction starvation detection (opt-in; 0 = off, keeping
+    # the strict-consecutive counter above): declare tracking lost when
+    # >= track_health_frac of the last track_health_window keyframes
+    # were below the floor. A persistently sick map whose landmark
+    # count BOUNCES over the floor resets the consecutive counter every
+    # bounce and limps on — measured on the 60 s endurance profile's
+    # post-re-init runaway (valid 3..95 across keyframes, floor ~14,
+    # PERF_NOTES "Long-horizon: the post-recovery gauge"); the
+    # windowed test fires there.
+    track_health_window: int = 0
+    track_health_frac: float = 0.7
 
     def __post_init__(self):
         if self.window_frame_capacity == 0:

@@ -358,3 +358,46 @@ def test_pipelined_chained_keyframe_bit_identical():
         assert t1 == t2
         np.testing.assert_array_equal(p1, p2, err_msg=f"t={t1}")
         np.testing.assert_array_equal(q1, q2, err_msg=f"t={t1}")
+
+
+def test_health_backstop_windowed_fraction():
+    """swt.health_update: the strict-consecutive detector (default)
+    misses a persistently sick map whose landmark count bounces over
+    the floor (each bounce resets the counter — the measured 60 s
+    endurance post-re-init runaway); the opt-in windowed-fraction
+    detector fires on the same sequence. Pure logic test."""
+    from types import SimpleNamespace
+
+    from pvio_tpu.core.swt import health_update
+
+    def drive(cfg, counts):
+        st = SimpleNamespace(peak_valid=0, unhealthy_keyframes=0)
+        for i, n in enumerate(counts):
+            st.peak_valid = max(st.peak_valid, n)
+            if health_update(st, cfg, n):
+                return i
+        return None
+
+    # bouncing sick map: peak 100 -> floor 15; dips below floor 3 of
+    # every 4 keyframes but never 8 in a row
+    bounce = [100] + [5, 8, 11, 20] * 10
+    base = dict(track_health_min_landmarks=8, track_health_max_keyframes=8)
+    cfg_strict = SimpleNamespace(**base, track_health_window=0,
+                                 track_health_frac=0.7)
+    assert drive(cfg_strict, bounce) is None, (
+        "strict-consecutive must miss the bouncing map (the documented gap)")
+    cfg_win = SimpleNamespace(**base, track_health_window=8,
+                              track_health_frac=0.7)
+    fired = drive(cfg_win, bounce)
+    assert fired is not None and fired <= 12, fired
+
+    # healthy map must never fire either detector
+    healthy = [100] * 3 + [60, 80, 40, 90] * 10
+    assert drive(cfg_strict, healthy) is None
+    assert drive(cfg_win, healthy) is None
+
+    # truly-consecutive starvation still fires the strict detector at
+    # the same keyframe as before (no regression in the default path)
+    dead = [100] + [5] * 12
+    assert drive(cfg_strict, dead) == 8
+    assert drive(cfg_win, dead) <= 8
